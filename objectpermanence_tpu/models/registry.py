@@ -1,0 +1,83 @@
+"""Model registry: supported-model name lists and the factory.
+
+Mirrors `baselines/supported_models.py` + `baselines/models_factory.py`,
+fixing the reference's `"opent_no_labels"` typo (`models_factory.py:64`)
+that made `opnet_no_labels` inference unreachable.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+
+from objectpermanence_tpu.models import reasoning
+
+PROGRAMMED_MODELS = ["detector_tracker", "detector_heuristic"]
+
+TRAINING_SUPPORTED_MODELS_5_TRACKS = [
+    "baseline_lstm", "baseline_lstm_no_labels",
+    "non_linear_lstm", "non_linear_lstm_no_labels",
+    "transformer_lstm", "transformer_lstm_no_labels",
+]
+
+TRAINING_SUPPORTED_MODELS_6_TRACKS = [
+    "opnet", "opnet_no_labels",
+    "opnet_lstm_mlp", "opnet_lstm_mlp_no_labels",
+]
+
+TRAINING_SUPPORTED_MODELS = TRAINING_SUPPORTED_MODELS_5_TRACKS + TRAINING_SUPPORTED_MODELS_6_TRACKS
+
+INFERENCE_SUPPORTED_MODELS = PROGRAMMED_MODELS + TRAINING_SUPPORTED_MODELS
+
+# OPNet family returns (boxes, who_to_attend_logits)
+DOUBLE_OUTPUT_MODELS = TRAINING_SUPPORTED_MODELS_6_TRACKS
+
+# "learn from visible frames only" variants: masked L1 + consistency loss
+NO_LABELS_MODELS = [m for m in TRAINING_SUPPORTED_MODELS if m.endswith("_no_labels")]
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    init: Callable
+    apply: Callable
+    feature_width: int          # 5 or 6 input features per object slot
+    double_output: bool         # returns (boxes, attention logits)
+    no_labels: bool             # masked-loss training variant
+
+
+def _base_name(name: str) -> str:
+    return name[: -len("_no_labels")] if name.endswith("_no_labels") else name
+
+
+_ARCHS: Dict[str, tuple] = {
+    "baseline_lstm": (reasoning.baseline_lstm_init, reasoning.baseline_lstm_apply, 5, False),
+    "non_linear_lstm": (reasoning.non_linear_lstm_init, reasoning.non_linear_lstm_apply, 5, False),
+    "transformer_lstm": (reasoning.transformer_lstm_init, reasoning.transformer_lstm_apply, 5, False),
+    "opnet": (reasoning.opnet_init, reasoning.opnet_apply, 6, True),
+    "opnet_lstm_mlp": (reasoning.opnet_lstm_mlp_init, reasoning.opnet_lstm_mlp_apply, 6, True),
+}
+
+
+def get_model_spec(name: str) -> ModelSpec:
+    base = _base_name(name)
+    if base not in _ARCHS:
+        raise ValueError(f"Unknown model name: {name!r}; supported: {TRAINING_SUPPORTED_MODELS}")
+    init, apply, width, double = _ARCHS[base]
+    return ModelSpec(
+        name=name, init=init, apply=apply, feature_width=width,
+        double_output=double, no_labels=name in NO_LABELS_MODELS,
+    )
+
+
+def init_model(name: str, config: Dict[str, int], seed: int = 0,
+               checkpoint_path: Optional[str] = None):
+    """Build (spec, params); optionally restore params from a checkpoint
+    (reference `models_factory.py:42-80` with `.pth` loading)."""
+    spec = get_model_spec(name)
+    params = spec.init(jax.random.PRNGKey(seed), config)
+    if checkpoint_path is not None:
+        from objectpermanence_tpu.utils.checkpoint import restore_params
+        params = restore_params(checkpoint_path, params)
+        print(f"Loaded model parameters from {checkpoint_path}")
+    return spec, params

@@ -1,0 +1,223 @@
+"""Float-tolerance numeric parity of every learned model against a
+PyTorch implementation following the reference architecture definitions
+(`baselines/learned_models.py`). Torch runs on CPU; weights are copied
+from torch modules into the JAX parameter pytrees, so any layout or gate
+ordering mismatch fails loudly.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from objectpermanence_tpu.models.registry import get_model_spec
+
+TOL = dict(rtol=1e-4, atol=1e-5)
+
+OPNET_CFG = {"object_to_track_pred_dim": 15, "object_to_track_hidden_dim": 256,
+             "videos_hidden_dim": 512}
+BASELINE_CFG = {"videos_hidden_dim": 512}
+NONLINEAR_CFG = {"boxes_features_dim": 256, "videos_hidden_dim": 512}
+TRANSFORMER_CFG = {"boxes_features_dim": 256, "num_attention_heads": 2,
+                   "num_attention_layers": 2, "num_lstm_layers": 2,
+                   "lstm_hidden_dim": 512}
+
+# Small shapes keep the test fast; semantics don't depend on T.
+B, T, O = 2, 12, 15
+
+
+def _rand_boxes(feat, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(B, T, O, feat).astype(np.float32)
+
+
+def _copy_lstm(params, t_lstm, layer=0):
+    """Copy torch nn.LSTM weights (4H, D) into our (D, 4H) layout."""
+    params["w_ih"] = jnp.asarray(getattr(t_lstm, f"weight_ih_l{layer}").detach().numpy().T)
+    params["w_hh"] = jnp.asarray(getattr(t_lstm, f"weight_hh_l{layer}").detach().numpy().T)
+
+
+def _copy_linear(params, t_linear):
+    params["w"] = jnp.asarray(t_linear.weight.detach().numpy().T)
+    if "b" in params:
+        params["b"] = jnp.asarray(t_linear.bias.detach().numpy())
+
+
+# --- torch reference modules (architecture per baselines/learned_models.py) ---
+
+class TorchOPNet(nn.Module):
+    def __init__(self, cfg, mlp_head=False):
+        super().__init__()
+        self.att_lstm = nn.LSTM(6 * 15, cfg["object_to_track_hidden_dim"],
+                                batch_first=True, bias=False)
+        self.att_head = nn.Linear(cfg["object_to_track_hidden_dim"],
+                                  cfg["object_to_track_pred_dim"], bias=False)
+        self.mlp_head = mlp_head
+        if mlp_head:
+            self.hidden = nn.Linear(6, cfg["videos_hidden_dim"], bias=False)
+        else:
+            self.video_lstm = nn.LSTM(6, cfg["videos_hidden_dim"],
+                                      batch_first=True, bias=False)
+        self.box_head = nn.Linear(cfg["videos_hidden_dim"], 4, bias=False)
+
+    def forward(self, boxes):
+        b, t, o, f = boxes.shape
+        scene = boxes.reshape(b, t, -1)
+        att_h, _ = self.att_lstm(scene)
+        logits = self.att_head(att_h)
+        probs = F.softmax(logits, dim=-1)
+        sel = torch.einsum("bfot,bfo->bft", boxes, probs)
+        if self.mlp_head:
+            hidden = F.relu(self.hidden(sel))
+        else:
+            hidden, _ = self.video_lstm(sel)
+        y = self.box_head(hidden)
+        return y, logits.permute(0, 2, 1)
+
+
+class TorchBaselineLstm(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.video_lstm = nn.LSTM(15 * 5, cfg["videos_hidden_dim"],
+                                  batch_first=True, bias=False)
+        self.box_head = nn.Linear(cfg["videos_hidden_dim"], 4, bias=False)
+
+    def forward(self, x):
+        b, t, o, f = x.shape
+        hidden, _ = self.video_lstm(x.reshape(b, t, -1))
+        return self.box_head(hidden)
+
+
+class TorchNonLinearLstm(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.box_proj = nn.Linear(5, cfg["boxes_features_dim"], bias=False)
+        self.video_lstm = nn.LSTM(15 * cfg["boxes_features_dim"],
+                                  cfg["videos_hidden_dim"], num_layers=2,
+                                  batch_first=True, bias=False)
+        self.box_head = nn.Linear(cfg["videos_hidden_dim"], 4, bias=False)
+
+    def forward(self, x):
+        b, t, o, f = x.shape
+        feats = F.relu(self.box_proj(x))
+        hidden, _ = self.video_lstm(feats.reshape(b, t, -1))
+        return self.box_head(hidden)
+
+
+class TorchTransformerLstm(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        d = cfg["boxes_features_dim"]
+        enc = nn.TransformerEncoderLayer(d_model=d, nhead=cfg["num_attention_heads"],
+                                         batch_first=True)
+        self.box_proj = nn.Linear(5, d, bias=False)
+        self.encoder = nn.TransformerEncoder(enc, num_layers=cfg["num_attention_layers"])
+        self.video_lstm = nn.LSTM(d, cfg["lstm_hidden_dim"],
+                                  num_layers=cfg["num_lstm_layers"],
+                                  batch_first=True, bias=False)
+        self.box_head = nn.Linear(cfg["lstm_hidden_dim"], 4, bias=False)
+
+    def forward(self, x):
+        b, t, o, f = x.shape
+        feats = F.relu(self.box_proj(x))
+        tokens = feats.reshape(b * t, o, -1)
+        attended = self.encoder(tokens)
+        snitch = attended[:, 0, :].reshape(b, t, -1)
+        hidden, _ = self.video_lstm(snitch)
+        return self.box_head(hidden)
+
+
+def test_lstm_layer_parity():
+    torch.manual_seed(0)
+    t_lstm = nn.LSTM(24, 32, batch_first=True, bias=False).eval()
+    from objectpermanence_tpu.ops.lstm import lstm_init, lstm_apply
+    params = lstm_init(jax.random.PRNGKey(0), 24, 32)
+    _copy_lstm(params, t_lstm)
+    x = np.random.RandomState(1).rand(3, 20, 24).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = t_lstm(torch.from_numpy(x))
+    got = lstm_apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), **TOL)
+
+
+@pytest.mark.parametrize("name", ["opnet", "opnet_lstm_mlp"])
+def test_opnet_family_parity(name):
+    torch.manual_seed(0)
+    t_model = TorchOPNet(OPNET_CFG, mlp_head=(name == "opnet_lstm_mlp")).eval()
+    spec = get_model_spec(name)
+    params = spec.init(jax.random.PRNGKey(0), OPNET_CFG)
+    _copy_lstm(params["att_lstm"], t_model.att_lstm)
+    _copy_linear(params["att_head"], t_model.att_head)
+    if name == "opnet":
+        _copy_lstm(params["video_lstm"], t_model.video_lstm)
+    else:
+        _copy_linear(params["hidden"], t_model.hidden)
+    _copy_linear(params["box_head"], t_model.box_head)
+
+    x = _rand_boxes(6)
+    with torch.no_grad():
+        ref_boxes, ref_logits = t_model(torch.from_numpy(x))
+    got_boxes, got_logits = spec.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_boxes), ref_boxes.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(got_logits), ref_logits.numpy(), **TOL)
+
+
+def test_baseline_lstm_parity():
+    torch.manual_seed(0)
+    t_model = TorchBaselineLstm(BASELINE_CFG).eval()
+    spec = get_model_spec("baseline_lstm")
+    params = spec.init(jax.random.PRNGKey(0), BASELINE_CFG)
+    _copy_lstm(params["video_lstm"], t_model.video_lstm)
+    _copy_linear(params["box_head"], t_model.box_head)
+    x = _rand_boxes(5)
+    with torch.no_grad():
+        ref = t_model(torch.from_numpy(x))
+    got = spec.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), **TOL)
+
+
+def test_non_linear_lstm_parity():
+    torch.manual_seed(0)
+    t_model = TorchNonLinearLstm(NONLINEAR_CFG).eval()
+    spec = get_model_spec("non_linear_lstm")
+    params = spec.init(jax.random.PRNGKey(0), NONLINEAR_CFG)
+    _copy_linear(params["box_proj"], t_model.box_proj)
+    for layer in range(2):
+        _copy_lstm(params["video_lstm"][layer], t_model.video_lstm, layer)
+    _copy_linear(params["box_head"], t_model.box_head)
+    x = _rand_boxes(5)
+    with torch.no_grad():
+        ref = t_model(torch.from_numpy(x))
+    got = spec.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), **TOL)
+
+
+def test_transformer_lstm_parity():
+    torch.manual_seed(0)
+    t_model = TorchTransformerLstm(TRANSFORMER_CFG).eval()
+    spec = get_model_spec("transformer_lstm")
+    params = spec.init(jax.random.PRNGKey(0), TRANSFORMER_CFG)
+    _copy_linear(params["box_proj"], t_model.box_proj)
+    for i, t_layer in enumerate(t_model.encoder.layers):
+        j_layer = params["encoder"][i]
+        j_layer["attn"]["w_in"] = jnp.asarray(t_layer.self_attn.in_proj_weight.detach().numpy().T)
+        j_layer["attn"]["b_in"] = jnp.asarray(t_layer.self_attn.in_proj_bias.detach().numpy())
+        _copy_linear(j_layer["attn"]["out"], t_layer.self_attn.out_proj)
+        _copy_linear(j_layer["ff1"], t_layer.linear1)
+        _copy_linear(j_layer["ff2"], t_layer.linear2)
+        j_layer["norm1"]["scale"] = jnp.asarray(t_layer.norm1.weight.detach().numpy())
+        j_layer["norm1"]["bias"] = jnp.asarray(t_layer.norm1.bias.detach().numpy())
+        j_layer["norm2"]["scale"] = jnp.asarray(t_layer.norm2.weight.detach().numpy())
+        j_layer["norm2"]["bias"] = jnp.asarray(t_layer.norm2.bias.detach().numpy())
+    for layer in range(TRANSFORMER_CFG["num_lstm_layers"]):
+        _copy_lstm(params["video_lstm"][layer], t_model.video_lstm, layer)
+    _copy_linear(params["box_head"], t_model.box_head)
+
+    x = _rand_boxes(5)
+    with torch.no_grad():
+        ref = t_model(torch.from_numpy(x))
+    got = spec.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3, atol=1e-4)
