@@ -1,0 +1,83 @@
+"""Perception preprocessing: raw videos -> per-video detection pickles.
+
+Reference `baselines/preprocess_perception_main.py`: frame-by-frame Faster
+R-CNN at batch size 1, reloading the detector per video. TPU-native rework:
+load the detector ONCE, decode each video on host, run the jit detector over
+frame BATCHES on device, and keep only score>=0.8 detections — writing the
+same `{"bb", "labels"}` pickle schema consumed by ingest.
+"""
+
+import pickle
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+from objectpermanence_tpu import VIDEO_NUM_FRAMES
+
+SCORE_THRESHOLD = 0.8
+
+
+def read_video_frames(video_path) -> np.ndarray:
+    """Decode a video to (T, H, W, 3) uint8 RGB, dropping cv2's spurious
+    extra frame (`tracking_utils.py:27-30`)."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise RuntimeError(f"Unable to open video {video_path}")
+    num_valid = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) - 1
+    frames = []
+    for _ in range(num_valid):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.stack(frames) if frames else np.zeros((0, 240, 320, 3), np.uint8)
+
+
+def detections_to_lists(boxes: np.ndarray, labels: np.ndarray, scores: np.ndarray,
+                        valid: np.ndarray) -> Dict[str, List[np.ndarray]]:
+    """Dense padded per-frame detector output -> the reference's ragged
+    pickle schema, keeping the score-sorted prefix with score >= 0.8
+    (`detector.py:14-28`)."""
+    out_bb, out_labels = [], []
+    for f in range(len(boxes)):
+        keep = valid[f] & (scores[f] >= SCORE_THRESHOLD)
+        out_bb.append(boxes[f][keep].astype(np.float32))
+        out_labels.append(labels[f][keep].astype(np.int64))
+    return {"bb": out_bb, "labels": out_labels}
+
+
+def preprocess_main(results_dir: str, config: Dict) -> List[str]:
+    """Run the detector over every video in `config['videos_dir']` and write
+    `<name>.pkl` per video (only if exactly 300 frames, like the reference's
+    guard at `preprocess_perception_main.py:92-96`)."""
+    from objectpermanence_tpu.models.detector import CaterDetector
+
+    videos_dir = Path(config["videos_dir"])
+    results_dir = Path(results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+    batch_size = int(config.get("batch_size", 16))
+
+    detector = CaterDetector.load(config.get("od_model_weights"))
+
+    written = []
+    for video_path in sorted(videos_dir.glob("*.avi")):
+        try:
+            frames = read_video_frames(video_path)
+            if len(frames) != VIDEO_NUM_FRAMES:
+                print(f"problem with video {video_path.stem}: "
+                      f"{len(frames)} frames, skipping")
+                continue
+            boxes, labels, scores, valid = detector.detect_video(frames, batch_size)
+            data = detections_to_lists(boxes, labels, scores, valid)
+            out_path = results_dir / f"{video_path.stem}.pkl"
+            with open(out_path, "wb") as f:
+                pickle.dump(data, f)
+            written.append(video_path.stem)
+        except Exception as exc:  # per-video isolation, like the reference
+            print(f"problem with video {video_path.stem}: {exc}")
+            continue
+    return written

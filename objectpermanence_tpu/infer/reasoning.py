@@ -1,0 +1,116 @@
+"""Batched reasoning inference — the 5k-fps/chip target path.
+
+TPU-native rework of `baselines/inference_main.py:162-257`: the whole
+eval set stays on device as `(B, 300, 15, F)`, one jit forward per batch,
+a single device->host transfer of int32 pixel boxes, then host-side json
+(+ optional cv2 debug video) writing.
+"""
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from objectpermanence_tpu.analysis.analyzer import write_bb_predictions
+from objectpermanence_tpu.data.ingest import IngestedDataset, batches, ingest_directory
+from objectpermanence_tpu.models.registry import ModelSpec, init_model
+from objectpermanence_tpu.ops.boxes import FRAME_SHAPES
+from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_batch
+
+
+def make_predict_step(spec: ModelSpec):
+    @jax.jit
+    def predict_step(params, boxes):
+        if spec.double_output:
+            out, _ = spec.apply(params, boxes)
+        else:
+            out = spec.apply(params, boxes)
+        # denormalize to int32 pixels on device (`inference_main.py:219`)
+        return (out * FRAME_SHAPES).astype(np.int32)
+
+    return predict_step
+
+
+def predict_dataset(spec: ModelSpec, params, dataset: IngestedDataset,
+                    batch_size: int, mesh=None) -> Dict[str, np.ndarray]:
+    """Forward the whole dataset; returns {video_name: (T, 4) int32 boxes}."""
+    if mesh is None:
+        mesh = make_mesh()
+    data_par = mesh.shape["data"]
+    batch_size = max(batch_size - batch_size % data_par, data_par)
+    predict_step = make_predict_step(spec)
+
+    results: Dict[str, np.ndarray] = {}
+    for batch in batches(dataset, batch_size):
+        padded, real = pad_batch_to(batch, batch_size)
+        sharded = shard_batch({"boxes": padded["boxes"]}, mesh)
+        pred_px = np.asarray(predict_step(params, sharded["boxes"]))[:real]
+        for name, boxes in zip(batch["names"], pred_px):
+            results[name] = boxes
+    return results
+
+
+def write_debug_video(video_path, out_path, predictions: np.ndarray,
+                      labels: np.ndarray) -> None:
+    """Prediction (yellow) vs GT (blue) debug video, mirroring the
+    reference's rendering (`inference_main.py:227-254`). Requires cv2."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise RuntimeError(f"Unable to open video {video_path}")
+    # cv2 reports one spurious extra frame (`tracking_utils.py:27-30`)
+    num_valid = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) - 1
+    writer = None
+    for frame_idx in range(min(num_valid, len(predictions))):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if writer is None:
+            h, w = frame.shape[:2]
+            writer = cv2.VideoWriter(str(out_path),
+                                     cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+        p = predictions[frame_idx]
+        g = labels[frame_idx]
+        cv2.rectangle(frame, (int(p[0]), int(p[1])), (int(p[2]), int(p[3])),
+                      (0, 255, 255), 3)
+        cv2.rectangle(frame, (int(g[0]), int(g[1])), (int(g[2]), int(g[3])),
+                      (255, 0, 0), 3)
+        writer.write(frame)
+    cap.release()
+    if writer is not None:
+        writer.release()
+
+
+def reasoning_inference_main(model_name: str, results_dir: str,
+                             inference_config: Dict, model_config: Dict,
+                             mesh=None) -> Dict[str, np.ndarray]:
+    """Full inference driver: ingest -> batched forward -> per-video
+    `<name>_bb.json` predictions (+ debug videos when raw videos exist)."""
+    samples_dir = inference_config["sample_dir"]
+    labels_dir = inference_config["labels_dir"]
+    batch_size = int(inference_config["batch_size"])
+    model_path = inference_config.get("model_path")
+    cache_dir = inference_config.get("cache_dir")
+
+    spec, params = init_model(model_name, model_config, checkpoint_path=model_path)
+    dataset = ingest_directory(samples_dir, labels_dir, spec.feature_width,
+                               cache_dir=cache_dir)
+    results_dir = Path(results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+
+    predictions = predict_dataset(spec, params, dataset, batch_size, mesh)
+
+    labels_px = (dataset.labels * np.asarray(FRAME_SHAPES, dtype=np.float32)).astype(np.int32)
+    labels_by_name = dict(zip(dataset.names, labels_px))
+
+    videos_dir = inference_config.get("videos_dir")
+    for name, boxes in predictions.items():
+        write_bb_predictions(name, results_dir, boxes)
+        if videos_dir:
+            video_path = Path(videos_dir) / f"{name}.avi"
+            if video_path.exists():
+                write_debug_video(video_path, results_dir / f"{name}_results.avi",
+                                  boxes, labels_by_name[name])
+    return predictions

@@ -1,0 +1,69 @@
+"""Mesh + sharding helpers.
+
+Strategy (SURVEY §2.15): the workload is many independent 300-frame videos,
+so the batch axis is the scaling axis — `dp` over `DATA_AXIS` shards videos
+across chips, gradients are averaged with a `psum` inserted by XLA from the
+sharding annotations. `MODEL_AXIS` is available for tensor-parallel sharding
+of the LSTM hidden dimension (used by the multi-chip dry run and for
+headroom at large hidden sizes).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    used = n_data * n_model
+    grid = np.asarray(devices[:used]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put array members of a batch dict with batch-axis sharding.
+
+    The batch size must divide the data axis; callers pad the final batch
+    (video count is host-side knowledge, shapes stay static for jit).
+    """
+    sharding = batch_sharding(mesh)
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) or hasattr(value, "shape"):
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = value
+    return out
+
+
+def pad_batch_to(batch: dict, size: int) -> tuple:
+    """Pad all array members of `batch` along axis 0 up to `size` by
+    repeating the last element; returns (padded_batch, real_count).
+    Keeps jit shapes static across the ragged final batch."""
+    arrays = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+    count = next(iter(arrays.values())).shape[0]
+    if count == size:
+        return batch, count
+    out = dict(batch)
+    for key, value in arrays.items():
+        pad = np.repeat(value[-1:], size - count, axis=0)
+        out[key] = np.concatenate([value, pad], axis=0)
+    return out, count

@@ -1,0 +1,42 @@
+"""Losses: L1 prediction + temporal-consistency, with the no-labels masking.
+
+Semantics per the reference train loop (`baselines/training_main.py:192-210`):
+- `pred_loss` = elementwise L1 over (B, 300, 4); for `*_no_labels` models it
+  is multiplied by the visible-frames mask BEFORE the mean (so the mean is
+  still over all elements — masked frames contribute zeros, exactly like
+  `nn.L1Loss(reduction="none") * mask` followed by `torch.mean`).
+- `consistency_loss` = mean over (B, 299) of the L2 norm of adjacent-frame
+  output deltas.
+- total = pred + 0.5 * consistency for no-labels models, else pred only.
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+CONSISTENCY_RATE = 0.5
+
+
+def l1_pred_loss(output: jnp.ndarray, labels: jnp.ndarray,
+                 mask: jnp.ndarray = None) -> jnp.ndarray:
+    loss = jnp.abs(output - labels)
+    if mask is not None:
+        loss = loss * mask
+    return jnp.mean(loss)
+
+
+def consistency_loss(output: jnp.ndarray) -> jnp.ndarray:
+    deltas = output[:, 1:, :] - output[:, :-1, :]
+    return jnp.mean(jnp.linalg.norm(deltas, axis=-1))
+
+
+def total_loss(output: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
+               no_labels: bool) -> Tuple[jnp.ndarray, dict]:
+    cons = consistency_loss(output)
+    if no_labels:
+        pred = l1_pred_loss(output, labels, mask.astype(output.dtype))
+        loss = pred + CONSISTENCY_RATE * cons
+    else:
+        pred = l1_pred_loss(output, labels)
+        loss = pred
+    return loss, {"loss": loss, "pred_loss": pred, "consistency_loss": cons}
