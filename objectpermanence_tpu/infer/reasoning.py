@@ -13,6 +13,7 @@ import jax
 import numpy as np
 
 from objectpermanence_tpu.analysis.analyzer import write_bb_predictions
+from objectpermanence_tpu.ops import lstm as lstm_ops
 from objectpermanence_tpu.data.ingest import IngestedDataset, batches, ingest_directory
 from objectpermanence_tpu.models.registry import ModelSpec, init_model
 from objectpermanence_tpu.ops.boxes import FRAME_SHAPES
@@ -20,12 +21,24 @@ from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_ba
 
 
 def make_predict_step(spec: ModelSpec):
+    """Jit forward -> int32 pixel boxes. On TPU backends the OPNet family
+    runs the fully-fused Pallas kernel, and the other models' LSTM
+    recurrences use the fused Pallas scan (`ops/pallas_scan.py`); elsewhere
+    (CPU tests, dry runs) the XLA `lax.scan` path compiles everywhere."""
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused_opnet = on_tpu and spec.name.startswith("opnet") and "mlp" not in spec.name
+
     @jax.jit
     def predict_step(params, boxes):
-        if spec.double_output:
-            out, _ = spec.apply(params, boxes)
+        if use_fused_opnet:
+            from objectpermanence_tpu.ops.pallas_scan import opnet_fused_forward
+            out, _ = opnet_fused_forward(params, boxes)
+        elif spec.double_output:
+            with lstm_ops.fused_scan(on_tpu):
+                out, _ = spec.apply(params, boxes)
         else:
-            out = spec.apply(params, boxes)
+            with lstm_ops.fused_scan(on_tpu):
+                out = spec.apply(params, boxes)
         # denormalize to int32 pixels on device (`inference_main.py:219`)
         return (out * FRAME_SHAPES).astype(np.int32)
 

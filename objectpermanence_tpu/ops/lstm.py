@@ -17,11 +17,28 @@ A fused Pallas variant for the recurrence lives in `ops/pallas_scan.py`;
 this module is the reference/compilation-friendly XLA path.
 """
 
+import contextlib
 from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# When True (see `fused_scan()`), `lstm_apply` dispatches the recurrence to
+# the Pallas kernel in `ops.pallas_scan`. Inference drivers enable it on TPU
+# backends; training keeps the differentiable `lax.scan` path.
+_USE_FUSED_SCAN = False
+
+
+@contextlib.contextmanager
+def fused_scan(enabled: bool = True):
+    global _USE_FUSED_SCAN
+    previous = _USE_FUSED_SCAN
+    _USE_FUSED_SCAN = enabled
+    try:
+        yield
+    finally:
+        _USE_FUSED_SCAN = previous
 
 
 def lstm_init(key, input_dim: int, hidden_dim: int, dtype=jnp.float32) -> Dict[str, jax.Array]:
@@ -61,6 +78,10 @@ def lstm_apply(params: Dict[str, jax.Array], x: jax.Array, *,
     MXU sees a (B*T, D) x (D, 4H) contraction; the scan carries only the
     (B, H) recurrence.
     """
+    if _USE_FUSED_SCAN:
+        from objectpermanence_tpu.ops.pallas_scan import lstm_scan_pallas
+        return lstm_scan_pallas(params, x)
+
     w_ih, w_hh = params["w_ih"], params["w_hh"]
     batch, seq_len, _ = x.shape
     hidden = w_hh.shape[0]

@@ -1,0 +1,223 @@
+"""Pallas TPU kernels for the 300-step recurrences — the hot compute path.
+
+Two kernels:
+
+1. `lstm_scan_pallas` — drop-in replacement for `ops.lstm.lstm_apply`'s
+   recurrence: input projections are one bulk MXU matmul (XLA), the
+   recurrence runs as a Pallas grid over (batch tiles, time) with the
+   (h, c) carry and `w_hh` resident in VMEM for the whole sequence — no
+   per-step HBM round trips for the carry or weights.
+
+2. `opnet_fused_forward` — the WHOLE OPNet forward (reference
+   `learned_models.py:18-52`; both LSTMs + who-to-attend softmax + soft box
+   selection + box head) as ONE kernel over time. Intermediates
+   (attention hidden states, probs, selected boxes) never touch HBM; per
+   step the kernel reads one time-slice of the precomputed attention input
+   projection + the raw boxes, and writes 4 box coords (+15 logits).
+
+Grid iteration on TPU is sequential with the last grid axis fastest, so
+scratch carries persist across the time axis within each batch tile and are
+re-zeroed at t == 0.
+
+Used for inference (`infer/reasoning.py` picks it on TPU backends); training
+uses the XLA `lax.scan` path, which JAX differentiates. Numerics match the
+XLA path to float tolerance (see tests/test_pallas_scan.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_B = 256
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-layer LSTM recurrence
+# ---------------------------------------------------------------------------
+
+def _lstm_kernel(xproj_ref, w_hh_ref, out_ref, h_ref, c_ref):
+    hidden = w_hh_ref.shape[0]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    gates = xproj_ref[0] + jnp.dot(h_ref[:], w_hh_ref[:],
+                                   preferred_element_type=jnp.float32)
+    i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
+    f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
+    c = f * c_ref[:] + i * g
+    h = o * jnp.tanh(c)
+    c_ref[:] = c
+    h_ref[:] = h
+    out_ref[0] = h
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def lstm_scan_pallas(params, x, *, block_b: int = DEFAULT_BLOCK_B,
+                     interpret: bool = False):
+    """Bias-free LSTM layer over `x: (B, T, D)` -> `(B, T, H)` with the
+    recurrence as a Pallas kernel. Pads B up to a tile multiple."""
+    w_ih, w_hh = params["w_ih"], params["w_hh"]
+    batch, seq_len, _ = x.shape
+    hidden = w_hh.shape[0]
+
+    block_b = min(block_b, max(8, batch))
+    padded_b = -(-batch // block_b) * block_b
+    if padded_b != batch:
+        x = jnp.pad(x, ((0, padded_b - batch), (0, 0), (0, 0)))
+
+    xproj = jnp.einsum("btd,dh->tbh", x, w_ih)  # time-major (T, B, 4H)
+
+    grid = (padded_b // block_b, seq_len)
+    hs = pl.pallas_call(
+        _lstm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((hidden, 4 * hidden), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, hidden), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((seq_len, padded_b, hidden), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xproj, w_hh)
+    return jnp.moveaxis(hs, 0, 1)[:batch]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused OPNet forward
+# ---------------------------------------------------------------------------
+
+def _opnet_kernel(xproj1_ref, boxes_fm_ref, w1_hh_ref, w_att_ref, w2_ih_ref,
+                  w2_hh_ref, w_head_ref, y_ref, logits_ref,
+                  h1_ref, c1_ref, h2_ref, c2_ref, *, num_objects, feat):
+    att_hidden = w1_hh_ref.shape[0]
+    vid_hidden = w2_hh_ref.shape[0]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h1_ref[:] = jnp.zeros_like(h1_ref)
+        c1_ref[:] = jnp.zeros_like(c1_ref)
+        h2_ref[:] = jnp.zeros_like(h2_ref)
+        c2_ref[:] = jnp.zeros_like(c2_ref)
+
+    # --- stage 1: who-to-attend LSTM step ---
+    gates1 = xproj1_ref[0] + jnp.dot(h1_ref[:], w1_hh_ref[:],
+                                     preferred_element_type=jnp.float32)
+    i1 = _sigmoid(gates1[:, 0 * att_hidden:1 * att_hidden])
+    f1 = _sigmoid(gates1[:, 1 * att_hidden:2 * att_hidden])
+    g1 = jnp.tanh(gates1[:, 2 * att_hidden:3 * att_hidden])
+    o1 = _sigmoid(gates1[:, 3 * att_hidden:4 * att_hidden])
+    c1 = f1 * c1_ref[:] + i1 * g1
+    h1 = o1 * jnp.tanh(c1)
+    c1_ref[:] = c1
+    h1_ref[:] = h1
+
+    # --- attention over the 15 object slots ---
+    logits = jnp.dot(h1, w_att_ref[:], preferred_element_type=jnp.float32)
+    logits_ref[0] = logits
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    # --- soft box selection: boxes are laid out feature-major
+    # (o contiguous within each feature), so each feature is one
+    # static (B, num_objects) slice ---
+    boxes_fm = boxes_fm_ref[0]
+    sel_cols = []
+    for f in range(feat):
+        block = boxes_fm[:, f * num_objects:(f + 1) * num_objects]
+        sel_cols.append(jnp.sum(block * probs, axis=1, keepdims=True))
+    selected = jnp.concatenate(sel_cols, axis=1)  # (B, feat)
+
+    # --- stage 2: video LSTM step on the selected box ---
+    xproj2 = jnp.dot(selected, w2_ih_ref[:], preferred_element_type=jnp.float32)
+    gates2 = xproj2 + jnp.dot(h2_ref[:], w2_hh_ref[:],
+                              preferred_element_type=jnp.float32)
+    i2 = _sigmoid(gates2[:, 0 * vid_hidden:1 * vid_hidden])
+    f2 = _sigmoid(gates2[:, 1 * vid_hidden:2 * vid_hidden])
+    g2 = jnp.tanh(gates2[:, 2 * vid_hidden:3 * vid_hidden])
+    o2 = _sigmoid(gates2[:, 3 * vid_hidden:4 * vid_hidden])
+    c2 = f2 * c2_ref[:] + i2 * g2
+    h2 = o2 * jnp.tanh(c2)
+    c2_ref[:] = c2
+    h2_ref[:] = h2
+
+    y_ref[0] = jnp.dot(h2, w_head_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
+                        interpret: bool = False):
+    """Fused OPNet forward: `boxes (B, T, O, F)` ->
+    `(y (B, T, 4), logits (B, O, T))`, matching `models.reasoning.opnet_apply`
+    to float tolerance."""
+    batch, seq_len, num_objects, feat = boxes.shape
+    w1_ih = params["att_lstm"]["w_ih"]
+    w1_hh = params["att_lstm"]["w_hh"]
+    w_att = params["att_head"]["w"]
+    w2_ih = params["video_lstm"]["w_ih"]
+    w2_hh = params["video_lstm"]["w_hh"]
+    w_head = params["box_head"]["w"]
+    att_hidden = w1_hh.shape[0]
+    vid_hidden = w2_hh.shape[0]
+    att_out = w_att.shape[1]
+
+    block_b = min(block_b, max(8, batch))
+    padded_b = -(-batch // block_b) * block_b
+    if padded_b != batch:
+        boxes = jnp.pad(boxes, ((0, padded_b - batch), (0, 0), (0, 0), (0, 0)))
+
+    scene = boxes.reshape(padded_b, seq_len, num_objects * feat)
+    xproj1 = jnp.einsum("btd,dh->tbh", scene, w1_ih)          # (T, B, 4H1)
+    # feature-major layout so the kernel selects each feature contiguously
+    boxes_fm = jnp.transpose(boxes, (1, 0, 3, 2)).reshape(
+        seq_len, padded_b, feat * num_objects)
+
+    grid = (padded_b // block_b, seq_len)
+    y, logits = pl.pallas_call(
+        functools.partial(_opnet_kernel, num_objects=num_objects, feat=feat),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * att_hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, feat * num_objects), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((att_hidden, 4 * att_hidden), lambda b, t: (0, 0)),
+            pl.BlockSpec((att_hidden, att_out), lambda b, t: (0, 0)),
+            pl.BlockSpec((feat, 4 * vid_hidden), lambda b, t: (0, 0)),
+            pl.BlockSpec((vid_hidden, 4 * vid_hidden), lambda b, t: (0, 0)),
+            pl.BlockSpec((vid_hidden, 4), lambda b, t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, 4), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, att_out), lambda b, t: (t, b, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, padded_b, 4), boxes.dtype),
+            jax.ShapeDtypeStruct((seq_len, padded_b, att_out), boxes.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, att_hidden), jnp.float32),
+            pltpu.VMEM((block_b, att_hidden), jnp.float32),
+            pltpu.VMEM((block_b, vid_hidden), jnp.float32),
+            pltpu.VMEM((block_b, vid_hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xproj1, boxes_fm, w1_hh, w_att, w2_ih, w2_hh, w_head)
+
+    y = jnp.moveaxis(y, 0, 1)[:batch]
+    logits = jnp.transpose(logits, (1, 2, 0))[:batch]  # (B, O, T)
+    return y, logits

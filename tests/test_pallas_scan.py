@@ -1,0 +1,42 @@
+"""Pallas fused kernels vs the XLA scan path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from objectpermanence_tpu.models.registry import get_model_spec
+from objectpermanence_tpu.ops.lstm import lstm_init, lstm_apply
+from objectpermanence_tpu.ops.pallas_scan import lstm_scan_pallas, opnet_fused_forward
+
+OPNET_CFG = {"object_to_track_pred_dim": 15, "object_to_track_hidden_dim": 256,
+             "videos_hidden_dim": 512}
+
+
+def test_lstm_scan_pallas_matches_xla():
+    params = lstm_init(jax.random.PRNGKey(0), 90, 256)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 12, 90), jnp.float32)
+    ref = lstm_apply(params, x)
+    got = lstm_scan_pallas(params, x, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_scan_pallas_batch_padding():
+    # batch not a multiple of the tile: padding must not leak
+    params = lstm_init(jax.random.PRNGKey(1), 30, 128)
+    x = jnp.asarray(np.random.RandomState(1).rand(5, 7, 30), jnp.float32)
+    ref = lstm_apply(params, x)
+    got = lstm_scan_pallas(params, x, block_b=8, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_opnet_fused_matches_reference_apply():
+    spec = get_model_spec("opnet")
+    params = spec.init(jax.random.PRNGKey(2), OPNET_CFG)
+    boxes = jnp.asarray(np.random.RandomState(2).rand(4, 10, 15, 6), jnp.float32)
+    ref_y, ref_logits = spec.apply(params, boxes)
+    got_y, got_logits = opnet_fused_forward(params, boxes, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
