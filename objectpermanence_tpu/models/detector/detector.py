@@ -1,0 +1,181 @@
+"""Full Faster R-CNN assembly: config, init, jit forward, video driver.
+
+Equivalent surface to the reference's `CaterObjectDetector`
+(`baselines/detector.py`) + `get_fast_rcnn_for_fine_tune`
+(`object_detection/models.py:6-20`), built from the TPU-native pieces.
+All shapes static: images are resized/padded to a fixed pyramid, proposals
+and detections are fixed-width padded arrays with NEG_INF score padding.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objectpermanence_tpu.models.detector import anchors as anchor_lib
+from objectpermanence_tpu.models.detector import fpn, resnet, rpn, roi_heads
+from objectpermanence_tpu.ops.nms import NEG_INF
+
+# the reference normalizes frames by /256 before the detector
+# (`baselines/detector.py:77`); the ImageNet mean/std then applies inside
+# the torchvision transform — both preserved here.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    num_classes: int = 193            # includes background slot 0 (see note
+                                      # in roi_heads.postprocess_detections)
+    image_hw: Tuple[int, int] = (240, 320)   # raw CATER frames (H, W)
+    min_size: int = 800
+    max_size: int = 1333
+    backbone_layers: Tuple[int, ...] = (3, 4, 6, 3)
+    backbone_width: int = 64
+    fpn_channels: int = 256
+    anchor_sizes: Tuple[float, ...] = anchor_lib.DEFAULT_SIZES
+    rpn_pre_nms_top_n: int = 1000
+    rpn_post_nms_top_n: int = 1000
+    rpn_nms_thresh: float = 0.7
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+
+    @property
+    def scale(self) -> float:
+        h, w = self.image_hw
+        return min(self.min_size / min(h, w), self.max_size / max(h, w))
+
+    @property
+    def resized_hw(self) -> Tuple[int, int]:
+        h, w = self.image_hw
+        return (int(round(h * self.scale)), int(round(w * self.scale)))
+
+    @property
+    def padded_hw(self) -> Tuple[int, int]:
+        h, w = self.resized_hw
+        return (math.ceil(h / 32) * 32, math.ceil(w / 32) * 32)
+
+    @property
+    def strides(self) -> Tuple[int, ...]:
+        return (4, 8, 16, 32, 64)
+
+    def feature_shapes(self) -> List[Tuple[int, int]]:
+        h, w = self.padded_hw
+        return [(math.ceil(h / s), math.ceil(w / s)) for s in self.strides]
+
+
+def detector_init(key, config: DetectorConfig, dtype=jnp.float32) -> Dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    backbone = resnet.resnet_init(k1, config.backbone_layers,
+                                  config.backbone_width, dtype)
+    channels = resnet.out_channels(config.backbone_layers, config.backbone_width)
+    return {
+        "backbone": backbone,
+        "fpn": fpn.fpn_init(k2, channels, config.fpn_channels, dtype),
+        "rpn": rpn.rpn_head_init(k3, config.fpn_channels, 3, dtype),
+        "box_head": roi_heads.box_head_init(
+            k4, config.fpn_channels, 7, 1024, config.num_classes, dtype),
+    }
+
+
+def preprocess_images(images: jax.Array, config: DetectorConfig) -> jax.Array:
+    """uint8/float RGB (B, H0, W0, 3) -> normalized, resized, padded
+    (B, Hp, Wp, 3)."""
+    x = images.astype(jnp.float32) / 256.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    rh, rw = config.resized_hw
+    b = x.shape[0]
+    x = jax.image.resize(x, (b, rh, rw, 3), method="bilinear")
+    ph, pw = config.padded_hw
+    return jnp.pad(x, ((0, 0), (0, ph - rh), (0, pw - rw), (0, 0)))
+
+
+def forward_features(params, images_prepped, config: DetectorConfig):
+    """Backbone + FPN over preprocessed images -> [P2..P6] (NHWC)."""
+    backbone_feats = resnet.resnet_apply(params["backbone"], images_prepped)
+    return fpn.fpn_apply(params["fpn"], backbone_feats)
+
+
+def propose(params, pyramid, config: DetectorConfig, anchor_arrays):
+    objectness, deltas = rpn.rpn_head_apply(params["rpn"], pyramid)
+    proposals, scores = rpn.generate_proposals(
+        [jax.nn.sigmoid(o) for o in objectness], deltas, anchor_arrays,
+        config.padded_hw, config.rpn_pre_nms_top_n, config.rpn_post_nms_top_n,
+        config.rpn_nms_thresh)
+    return proposals, scores
+
+
+def detect_forward(params, images, config: DetectorConfig, anchor_arrays):
+    """Full inference forward for a batch of raw frames.
+    -> boxes (B, D, 4) in ORIGINAL image coords, labels, scores, valid."""
+    prepped = preprocess_images(images, config)
+    pyramid = forward_features(params, prepped, config)
+    proposals, prop_scores = propose(params, pyramid, config, anchor_arrays)
+
+    # NHWC -> CHW per image for roi align; vmap over the batch
+    roi_feats_chw = [jnp.moveaxis(p, -1, 1) for p in pyramid[:4]]  # (B,C,H,W)
+
+    def per_image(feats, props, pscores):
+        pooled = roi_heads.multiscale_roi_align(feats, props)
+        cls_logits, box_deltas = roi_heads.box_head_apply(params["box_head"], pooled)
+        return roi_heads.postprocess_detections(
+            cls_logits, box_deltas, props, pscores, config.padded_hw,
+            config.score_thresh, config.nms_thresh, config.detections_per_img)
+
+    boxes, labels, scores = jax.vmap(per_image)(
+        roi_feats_chw, proposals, prop_scores)
+    boxes = boxes / config.scale  # back to original image coordinates
+    valid = scores > NEG_INF / 10
+    return boxes, labels, scores, valid
+
+
+class CaterDetector:
+    """Host-facing detector wrapper (reference `CaterObjectDetector`):
+    loads weights once, runs frame-batched jit inference over videos."""
+
+    def __init__(self, config: Optional[DetectorConfig] = None, params=None,
+                 seed: int = 0):
+        self.config = config or DetectorConfig()
+        self.anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
+            self.config.feature_shapes(), self.config.strides,
+            self.config.anchor_sizes)]
+        if params is None:
+            params = detector_init(jax.random.PRNGKey(seed), self.config)
+        self.params = params
+        self._jit_forward = jax.jit(
+            lambda p, imgs: detect_forward(p, imgs, self.config, self.anchors))
+
+    @classmethod
+    def load(cls, checkpoint_path: Optional[str],
+             config: Optional[DetectorConfig] = None) -> "CaterDetector":
+        det = cls(config)
+        if checkpoint_path:
+            from objectpermanence_tpu.utils.checkpoint import restore_params
+            det.params = restore_params(checkpoint_path, det.params)
+            print(f"Loaded detector parameters from {checkpoint_path}")
+        return det
+
+    def __call__(self, frames: np.ndarray):
+        """frames: (B, H, W, 3) RGB -> (boxes, labels, scores, valid) numpy."""
+        out = self._jit_forward(self.params, jnp.asarray(frames))
+        return tuple(np.asarray(o) for o in out)
+
+    def detect_video(self, frames: np.ndarray, batch_size: int = 16):
+        """All frames of one video, chunked to a fixed batch (last chunk
+        padded so the jit signature never changes)."""
+        num_frames = len(frames)
+        all_out = [[], [], [], []]
+        for start in range(0, num_frames, batch_size):
+            chunk = frames[start:start + batch_size]
+            real = len(chunk)
+            if real < batch_size:
+                pad = np.repeat(chunk[-1:], batch_size - real, axis=0)
+                chunk = np.concatenate([chunk, pad])
+            out = self(chunk)
+            for acc, arr in zip(all_out, out):
+                acc.append(arr[:real])
+        return tuple(np.concatenate(acc) for acc in all_out)

@@ -1,0 +1,114 @@
+"""ResNet backbone with frozen batch-norm, as functional JAX.
+
+Mirrors the torchvision detection backbone family (ResNet-50 by default:
+bottleneck blocks [3, 4, 6, 3]); batch-norm layers are frozen affine
+transforms (torchvision `FrozenBatchNorm2d`), the standard choice for
+detection fine-tuning with small batches. NHWC layout (TPU-native).
+"""
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
+    """He-normal (fan_out, relu) like torchvision's detection convs."""
+    fan_out = kh * kw * cout
+    std = np.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+
+
+def conv2d(x, w, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def frozen_bn_init(channels, dtype=jnp.float32):
+    return {
+        "scale": jnp.ones((channels,), dtype),
+        "bias": jnp.zeros((channels,), dtype),
+        "mean": jnp.zeros((channels,), dtype),
+        "var": jnp.ones((channels,), dtype),
+    }
+
+
+def frozen_bn(params, x, eps=1e-5):
+    # precomputable affine: w = scale/sqrt(var+eps), b = bias - mean*w
+    w = params["scale"] * jax.lax.rsqrt(params["var"] + eps)
+    b = params["bias"] - params["mean"] * w
+    return x * w + b
+
+
+def _bottleneck_init(key, cin, width, stride, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cout = width * 4
+    params = {
+        "conv1": conv_init(k1, 1, 1, cin, width, dtype),
+        "bn1": frozen_bn_init(width, dtype),
+        "conv2": conv_init(k2, 3, 3, width, width, dtype),
+        "bn2": frozen_bn_init(width, dtype),
+        "conv3": conv_init(k3, 1, 1, width, cout, dtype),
+        "bn3": frozen_bn_init(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        params["downsample"] = {
+            "conv": conv_init(k4, 1, 1, cin, cout, dtype),
+            "bn": frozen_bn_init(cout, dtype),
+        }
+    return params
+
+
+def _bottleneck(params, x, stride):
+    identity = x
+    out = jax.nn.relu(frozen_bn(params["bn1"], conv2d(x, params["conv1"])))
+    out = jax.nn.relu(frozen_bn(params["bn2"], conv2d(out, params["conv2"], stride)))
+    out = frozen_bn(params["bn3"], conv2d(out, params["conv3"]))
+    if "downsample" in params:
+        identity = frozen_bn(params["downsample"]["bn"],
+                             conv2d(x, params["downsample"]["conv"], stride))
+    return jax.nn.relu(out + identity)
+
+
+def resnet_init(key, layers: Sequence[int] = (3, 4, 6, 3), width: int = 64,
+                dtype=jnp.float32) -> Dict:
+    """ResNet-50 by default; `layers`/`width` shrink it for tests."""
+    keys = jax.random.split(key, 1 + len(layers))
+    params = {
+        "stem_conv": conv_init(keys[0], 7, 7, 3, width, dtype),
+        "stem_bn": frozen_bn_init(width, dtype),
+        "stages": [],
+    }
+    cin = width
+    for stage, blocks in enumerate(layers):
+        stage_width = width * (2 ** stage)
+        stride = 1 if stage == 0 else 2
+        block_keys = jax.random.split(keys[1 + stage], blocks)
+        stage_params = []
+        for b in range(blocks):
+            stage_params.append(_bottleneck_init(
+                block_keys[b], cin, stage_width, stride if b == 0 else 1, dtype))
+            cin = stage_width * 4
+        params["stages"].append(stage_params)
+    return params
+
+
+def resnet_apply(params, x) -> List[jax.Array]:
+    """x: (B, H, W, 3) -> [C2, C3, C4, C5] feature maps (strides 4..32)."""
+    x = conv2d(x, params["stem_conv"], stride=2)
+    x = jax.nn.relu(frozen_bn(params["stem_bn"], x))
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), "SAME")
+    features = []
+    for stage, stage_params in enumerate(params["stages"]):
+        for b, block in enumerate(stage_params):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            x = _bottleneck(block, x, stride)
+        features.append(x)
+    return features
+
+
+def out_channels(layers: Sequence[int] = (3, 4, 6, 3), width: int = 64) -> List[int]:
+    return [width * (2 ** s) * 4 for s in range(len(layers))]
