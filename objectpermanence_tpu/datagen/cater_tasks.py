@@ -1,0 +1,151 @@
+"""CATER task label generation: snitch-localization grid classes,
+action-present multilabels, action-order composite classes, train/test
+splits.
+
+Port of `generate/gen_train_test.py` (the CATER benchmark's label
+tooling): classes are derived from scene jsons; broken-video filtering is
+delegated to `utils/video_checks.py`.
+"""
+
+import json
+import math
+from itertools import permutations, product
+from pathlib import Path
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+NUM_ROWS = NUM_COLS = 3  # the grid is labeled w.r.t. a 6x6 = (2*3)^2 grid
+
+ACTION_CLASSES: List[Tuple[str, str]] = [
+    ("sphere", "_slide"),
+    ("sphere", "_pick_place"),
+    ("spl", "_slide"),
+    ("spl", "_pick_place"),
+    ("spl", "_rotate"),
+    ("cylinder", "_pick_place"),
+    ("cylinder", "_slide"),
+    ("cylinder", "_rotate"),
+    ("cube", "_slide"),
+    ("cube", "_pick_place"),
+    ("cube", "_rotate"),
+    ("cone", "_contain"),
+    ("cone", "_pick_place"),
+    ("cone", "_slide"),
+]
+
+BEFORE, DURING, AFTER = "before", "during", "after"
+ORDERING = [BEFORE, DURING, AFTER]
+
+
+def localization_class(scene: dict, num_rows: int = NUM_ROWS,
+                       num_cols: int = NUM_COLS) -> int:
+    """Final-frame snitch grid cell (reference `localize_dataset`,
+    `gen_train_test.py:54-75`): floor the last 3D position into the
+    (2*rows x 2*cols) grid."""
+    snitch = next(el for el in scene["objects"] if el["shape"] == "spl")
+    locations = snitch["locations"]
+    pos = list(locations[str(len(locations) - 1)])
+    if num_rows != NUM_ROWS or num_cols != NUM_COLS:
+        pos[0] *= num_cols / NUM_COLS
+        pos[1] *= num_rows / NUM_ROWS
+    x = int(math.floor(pos[0])) + num_cols
+    y = int(math.floor(pos[1])) + num_rows
+    return y * (2 * num_cols) + x
+
+
+def actions_present_labels(scene: dict) -> List[int]:
+    """Multi-label action-present classes (reference
+    `actions_or_not_dataset`)."""
+    name_to_shape = {el["instance"]: el["shape"] for el in scene["objects"]}
+    shape_actions: Dict[str, List[str]] = {}
+    for name, motions in scene["movements"].items():
+        shape_actions.setdefault(name_to_shape[name], []).extend(
+            m[0] for m in motions)
+    labels = []
+    for action_id, (shape, movement) in enumerate(ACTION_CLASSES):
+        if movement in shape_actions.get(shape, []):
+            labels.append(action_id)
+    return labels
+
+
+def _ordering(a_time, b_time) -> str:
+    if a_time[1] <= b_time[0]:
+        return BEFORE
+    if b_time[1] <= a_time[0]:
+        return AFTER
+    return DURING
+
+
+def action_order_classes(n: int = 2, unique: bool = False) -> List:
+    action_sets = list(product(ACTION_CLASSES, repeat=n))
+    orderings = list(product(ORDERING, repeat=n - 1))
+    classes = list(product(action_sets, orderings))
+    if unique:
+        def reverse(o):
+            return {("before",): ("after",), ("after",): ("before",),
+                    ("during",): ("during",)}[o]
+        uniq = []
+        for el in classes:
+            if el not in uniq and ((el[0][1], el[0][0]), reverse(el[1])) not in uniq:
+                uniq.append(el)
+        classes = uniq
+    return classes
+
+
+def action_order_labels(scene: dict, classes: List, n: int = 2) -> List[int]:
+    """Composite "X before/during/after Y" classes (reference
+    `actions_order_dataset` + `compute_active_labels`)."""
+    name_to_shape = {el["instance"]: el["shape"] for el in scene["objects"]}
+    all_actions = [(name_to_shape[name], m)
+                   for name, motions in scene["movements"].items()
+                   for m in motions]
+    active = set()
+    for actions_set in permutations(all_actions, n):
+        for cls_id, (ents, order) in enumerate(classes):
+            ok = all(e[0] == a[0] and e[1] == a[1][0]
+                     for e, a in zip(ents, actions_set))
+            if not ok:
+                continue
+            if all(_ordering(actions_set[i][1][2:], actions_set[i + 1][1][2:])
+                   == order[i] for i in range(len(order))):
+                active.add(cls_id)
+    return sorted(active)
+
+
+def train_test_split(names: Sequence[str], train_fraction: float = 0.7,
+                     seed: int = 0) -> Tuple[List[str], List[str]]:
+    names = list(names)
+    np.random.RandomState(seed).shuffle(names)
+    cut = int(train_fraction * len(names))
+    return names[:cut], names[cut:]
+
+
+def write_task_labels(scenes_dir, output_dir, *, seed: int = 0) -> Dict[str, Path]:
+    """Write `localize.txt` (grid class), `actions_present.txt`
+    (multi-label), and `train.txt`/`val.txt` split files."""
+    scenes_dir, output_dir = Path(scenes_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    localize_lines, actions_lines, names = [], [], []
+    for scene_path in sorted(scenes_dir.glob("*.json")):
+        with open(scene_path) as f:
+            scene = json.load(f)
+        name = f"{scene_path.stem}.avi"
+        names.append(name)
+        localize_lines.append(f"{name} {localization_class(scene)}\n")
+        labels = ",".join(str(l) for l in actions_present_labels(scene))
+        actions_lines.append(f"{name} {labels}\n")
+
+    train, val = train_test_split(names, seed=seed)
+    paths = {
+        "localize": output_dir / "localize.txt",
+        "actions_present": output_dir / "actions_present.txt",
+        "train": output_dir / "train.txt",
+        "val": output_dir / "val.txt",
+    }
+    paths["localize"].write_text("".join(localize_lines))
+    paths["actions_present"].write_text("".join(actions_lines))
+    paths["train"].write_text("".join(f"{n}\n" for n in train))
+    paths["val"].write_text("".join(f"{n}\n" for n in val))
+    return paths

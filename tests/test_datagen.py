@@ -1,0 +1,207 @@
+"""Data-generation label tooling tests on a hand-built scene json."""
+
+import json
+
+import numpy as np
+import pytest
+
+from objectpermanence_tpu.datagen import cater_tasks, perfect_perception, scene_labels
+
+
+def make_scene(num_frames=300):
+    """Scene: snitch (Spl_0), two cones, a cube.
+    Cone_1 contains the snitch at frames [50..60] (contain action ends at
+    50), slides [70..90], pick_places at 120 (containment 50..120).
+    Cone_2 contains Cone_1 ("babushka") 80..100.
+    """
+    def locations(x, y):
+        return {str(f): [x, y, 0.35] for f in range(num_frames)}
+
+    objects = [
+        {"instance": "Spl_0", "shape": "spl", "size": "small", "color": "gold",
+         "material": "metal", "locations": locations(0.5, 0.5)},
+        {"instance": "Cone_1", "shape": "cone", "size": "medium", "color": "blue",
+         "material": "metal", "locations": locations(0.6, 0.6)},
+        {"instance": "Cone_2", "shape": "cone", "size": "large", "color": "red",
+         "material": "rubber", "locations": locations(2.0, -1.0)},
+        {"instance": "Cube_0", "shape": "cube", "size": "small", "color": "green",
+         "material": "rubber", "locations": locations(-2.0, 2.0)},
+    ]
+    # action name field is the literal "_contain"/"_slide"/... (the
+    # generator's action vocabulary, `generate/actions.py:422-508`)
+    movements = {
+        "Spl_0": [["_no_op", None, 0, 30]],
+        "Cone_1": [
+            ["_contain", "Spl_0", 40, 50],
+            ["_slide", None, 70, 90],
+            ["_pick_place", None, 120, 140],
+        ],
+        "Cone_2": [
+            ["_contain", "Cone_1", 70, 80],
+            ["_pick_place", None, 100, 110],
+        ],
+        "Cube_0": [["_slide", None, 10, 20]],
+    }
+    return {"objects": objects, "movements": movements}
+
+
+def test_containment_frames():
+    scene = make_scene()
+    frames = scene_labels.snitch_containment_frames(scene)
+    assert frames == list(range(50, 121))
+
+
+def test_containment_with_move_frames():
+    scene = make_scene()
+    frames = scene_labels.snitch_containment_with_move_frames(scene)
+    assert frames == list(range(70, 91))
+
+
+def test_static_frames():
+    all_frames = list(range(50, 121))
+    moving = list(range(70, 91))
+    static = scene_labels.static_frames(all_frames, moving)
+    assert static == list(range(50, 70)) + list(range(91, 121))
+
+
+def test_tracked_object_with_babushka():
+    scene = make_scene()
+    labels, babushka = scene_labels.tracked_object_labels(scene)
+    # before containment: snitch label
+    assert labels[0] == 140 and labels[49] == 140
+    # during snitch containment: Cone_1's class (medium_blue_cone_metal)
+    from objectpermanence_tpu.vocab import OBJECTS_NAME_TO_IDX
+    cone1 = OBJECTS_NAME_TO_IDX["medium_blue_cone_metal"]
+    cone2 = OBJECTS_NAME_TO_IDX["large_red_cone_rubber"]
+    assert labels[55] == cone1
+    # while Cone_1 is itself contained (80..100): Cone_2's class
+    assert labels[90] == cone2
+    assert labels[101] == cone1       # back to Cone_1 after its reappearance
+    assert labels[121] == 140         # after pick_place: snitch again
+    assert babushka == 21             # frames 80..100
+
+
+def test_no_containment_without_cone():
+    scene = make_scene()
+    # a cube "containing" must be ignored (only cones contain)
+    scene["movements"]["Cube_0"].append(["_contain", "Spl_0", 5, 8])
+    frames = scene_labels.snitch_containment_frames(scene)
+    assert frames == list(range(50, 121))
+
+
+def test_write_annotation_files(tmp_path):
+    scenes_dir = tmp_path / "scenes"
+    scenes_dir.mkdir()
+    (scenes_dir / "vid1.json").write_text(json.dumps(make_scene()))
+    paths = scene_labels.write_annotation_files(scenes_dir, tmp_path / "out")
+    content = paths["containment"].read_text()
+    assert content.startswith("vid1\t50,51")
+    assert paths["babushka"].read_text().splitlines()[1] == "vid1,21"
+
+
+def test_localization_class_quadrants():
+    scene = make_scene()
+    # snitch final position (0.5, 0.5): x=floor(0.5)+3=3, y=3 -> 3*6+3=21
+    assert cater_tasks.localization_class(scene) == 21
+    scene["objects"][0]["locations"][str(299)] = [-2.5, 1.2, 0.35]
+    assert cater_tasks.localization_class(scene) == (1 + 3) * 6 + (-3 + 3)
+
+
+def test_actions_present():
+    scene = make_scene()
+    labels = cater_tasks.actions_present_labels(scene)
+    names = [cater_tasks.ACTION_CLASSES[l] for l in labels]
+    assert ("cone", "_contain") in names
+    assert ("cone", "_slide") in names
+    assert ("cone", "_pick_place") in names
+    assert ("cube", "_slide") in names
+    assert ("sphere", "_slide") not in names
+
+
+def test_action_order_labels_tiny():
+    scene = make_scene()
+    classes = cater_tasks.action_order_classes(n=2)
+    active = cater_tasks.action_order_labels(scene, classes)
+    # "cube _slide [10,20] BEFORE cone _contain [40,50]" must be active
+    target = ((("cube", "_slide"), ("cone", "_contain")), ("before",))
+    assert classes.index(target) in active
+    # and the impossible reverse ordering must not be
+    wrong = ((("cube", "_slide"), ("cone", "_contain")), ("after",))
+    assert classes.index(wrong) not in active
+
+
+def test_write_task_labels(tmp_path):
+    scenes_dir = tmp_path / "scenes"
+    scenes_dir.mkdir()
+    for i in range(4):
+        (scenes_dir / f"vid{i}.json").write_text(json.dumps(make_scene()))
+    paths = cater_tasks.write_task_labels(scenes_dir, tmp_path / "lists")
+    localize = paths["localize"].read_text().splitlines()
+    assert len(localize) == 4 and localize[0].endswith(" 21")
+    train = paths["train"].read_text().splitlines()
+    val = paths["val"].read_text().splitlines()
+    assert len(train) == 2 and len(val) == 2
+    assert set(train) | set(val) == {f"vid{i}.avi" for i in range(4)}
+
+
+# --- perfect perception ------------------------------------------------------
+
+def _gt_bb_for_scene(scene, num_frames=300):
+    """GT track boxes: every object a fixed 20x20 box at distinct spots,
+    except the cube overlaps the snitch completely in frames 200..210."""
+    tracks = {}
+    spots = {"Spl_0": (100, 100), "Cone_1": (150, 100), "Cone_2": (200, 50),
+             "Cube_0": (40, 160)}
+    for obj in scene["objects"]:
+        key = "_".join(obj[a] for a in ["size", "color", "shape", "material", "instance"])
+        x, y = spots[obj["instance"]]
+        boxes = [[x, y, 20, 20] for _ in range(num_frames)]
+        if obj["instance"] == "Cube_0":
+            for f in range(200, 211):
+                boxes[f] = [98, 98, 26, 26]  # covers the snitch box
+        tracks[key] = boxes
+    return tracks
+
+
+def test_perfect_perception_generation(tmp_path):
+    scene = make_scene()
+    # camera distance: make the snitch farther than the cube so the overlap
+    # at frames 200..210 occludes the SNITCH (smaller box, farther away)
+    for f in range(300):
+        scene["objects"][0]["locations"][str(f)] = [0.5, 0.5, 0.3]   # snitch
+        scene["objects"][3]["locations"][str(f)] = [4.0, -3.0, 1.0]  # cube near cam
+
+    scenes_dir = tmp_path / "scenes"
+    labels_dir = tmp_path / "labels"
+    scenes_dir.mkdir(); labels_dir.mkdir()
+    (scenes_dir / "vid1.json").write_text(json.dumps(scene))
+    (labels_dir / "vid1_bb.json").write_text(json.dumps(_gt_bb_for_scene(scene)))
+
+    gen = perfect_perception.PerfectPerceptionGenerator(
+        scenes_dir, labels_dir, tmp_path / "out", visible_ratio=0.99,
+        mode="visible_only")
+    written = gen.generate()
+    assert written == ["vid1"]
+
+    import pickle
+    with open(tmp_path / "out" / "vid1.pkl", "rb") as f:
+        data = pickle.load(f)
+    assert len(data["bb"]) == 300
+
+    # during snitch containment (50..120) the snitch class is absent
+    assert 140 not in data["labels"][60]
+    assert 140 in data["labels"][0]
+    # during Cone_1's babushka containment (80..100) Cone_1 is absent too
+    from objectpermanence_tpu.vocab import OBJECTS_NAME_TO_IDX
+    cone1 = OBJECTS_NAME_TO_IDX["medium_blue_cone_metal"]
+    assert cone1 not in data["labels"][90]
+    assert cone1 in data["labels"][130]
+    # full occlusion by the closer cube at 200..210 removes the snitch
+    assert 140 not in data["labels"][205]
+    assert 140 in data["labels"][195]
+
+    vis_file = gen.generate_snitch_visible_frames()
+    line = vis_file.read_text().splitlines()[0]
+    name, frames_str = line.split("\t")
+    visible = set(int(x) for x in frames_str.split(","))
+    assert 0 in visible and 60 not in visible and 205 not in visible
