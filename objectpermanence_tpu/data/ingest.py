@@ -295,13 +295,25 @@ def ingest_directory(predictions_dir, labels_dir, feature_width: int,
         blob = np.load(cache_path, allow_pickle=False)
         boxes, track, labels = blob["boxes"], blob["index_to_track"], blob["labels"]
     else:
+        from objectpermanence_tpu.native.build import (
+            native_containment_oracle, native_pad_video,
+        )
+
         all_boxes, all_track, all_labels = [], [], []
         for name in names:
             with open(predictions_dir / f"{name}.pkl", "rb") as f:
                 pred = pickle.load(f)
-            padded = pad_video_detections(pred["bb"], pred["labels"], feature_width)
+            # native C++ fast path (ctypes); Python fallback is bit-identical
+            padded = native_pad_video(pred["bb"], pred["labels"], feature_width,
+                                      IS_CONE)
+            if padded is None:
+                padded = pad_video_detections(pred["bb"], pred["labels"],
+                                              feature_width)
+            track = native_containment_oracle(padded, feature_width)
+            if track is None:
+                track = containment_oracle(padded, feature_width)
             all_boxes.append(padded)
-            all_track.append(containment_oracle(padded, feature_width))
+            all_track.append(track)
             all_labels.append(load_snitch_labels(labels_dir / f"{name}_bb.json"))
         boxes = np.stack(all_boxes)
         track = np.stack(all_track)
