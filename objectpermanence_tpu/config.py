@@ -1,0 +1,115 @@
+"""Typed configuration system.
+
+The reference loads raw JSON dicts with no validation or defaults
+(`main.py:108-113`, SURVEY §5). Here the same JSON files parse into typed
+dataclasses: unknown keys fail loudly, missing keys get defaults or a
+clear error, and drivers take config objects instead of dicts. The JSON
+key names are exactly the reference's (`configs/*.json`).
+"""
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _from_dict(cls, data: Dict[str, Any], name: str):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise ConfigError(f"{name}: unknown config keys {sorted(unknown)}; "
+                          f"supported: {sorted(fields)}")
+    missing = [f.name for f in fields.values()
+               if f.default is dataclasses.MISSING
+               and f.default_factory is dataclasses.MISSING
+               and f.name not in data]
+    if missing:
+        raise ConfigError(f"{name}: missing required config keys {missing}")
+    return cls(**data)
+
+
+def load_config(cls, path, name: Optional[str] = None):
+    with open(path) as f:
+        data = json.load(f)
+    return _from_dict(cls, data, name or Path(path).name)
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Mirrors `configs/training_config.json`."""
+    train_sample_dir: str
+    train_labels_dir: str
+    train_containment_file: str
+    dev_sample_dir: str
+    dev_labels_dir: str
+    dev_containment_file: str
+    batch_size: int = 16
+    inference_batch_size: int = 400
+    num_workers: int = 0            # accepted for config-file compatibility
+    num_epochs: int = 160
+    print_step: int = 100
+    learning_rate: float = 1e-3
+    lr_scheduler_patience: int = 2
+    lr_scheduler_factor: float = 0.8
+    device: str = ""                # accepted for config-file compatibility
+    checkpoints_path: str = "./checkpoints"
+    cache_dir: Optional[str] = None
+    seed: int = 0
+    # observability / debugging (new, optional)
+    profile_dir: Optional[str] = None    # jax.profiler traces for epoch 1
+    debug_nans: bool = False             # enable jax_debug_nans
+    metrics_file: Optional[str] = None   # jsonl per-epoch metrics
+    device_resident_data: bool = True    # keep datasets in HBM across epochs
+
+    def validate(self) -> "TrainingConfig":
+        if self.batch_size < 1 or self.num_epochs < 1:
+            raise ConfigError("batch_size and num_epochs must be >= 1")
+        if not (0 < self.lr_scheduler_factor <= 1):
+            raise ConfigError("lr_scheduler_factor must be in (0, 1]")
+        return self
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Mirrors `configs/inference_config.json`."""
+    sample_dir: str
+    labels_dir: str
+    batch_size: int = 16
+    num_workers: int = 0
+    device: str = ""
+    model_path: Optional[str] = None
+    videos_dir: Optional[str] = None
+    sample_file: Optional[str] = None
+    cache_dir: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Mirrors `configs/preprocess_config.json`."""
+    videos_dir: str
+    od_model_weights: Optional[str] = None
+    batch_size: int = 16
+    sample_file: Optional[str] = None
+
+
+def training_config_from(data) -> TrainingConfig:
+    if isinstance(data, TrainingConfig):
+        return data.validate()
+    return _from_dict(TrainingConfig, dict(data), "training_config").validate()
+
+
+def inference_config_from(data) -> InferenceConfig:
+    if isinstance(data, InferenceConfig):
+        return data
+    return _from_dict(InferenceConfig, dict(data), "inference_config")
+
+
+def preprocess_config_from(data) -> PreprocessConfig:
+    if isinstance(data, PreprocessConfig):
+        return data
+    return _from_dict(PreprocessConfig, dict(data), "preprocess_config")

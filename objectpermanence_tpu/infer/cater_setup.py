@@ -18,17 +18,16 @@ from objectpermanence_tpu.ops.homography import grid_classes_for_centers
 
 
 def cater_setup_inference(model_name: str, results_dir: str,
-                          inference_config: Dict, model_config: Dict,
+                          inference_config, model_config: Dict,
                           mesh=None) -> pd.DataFrame:
-    samples_dir = inference_config["sample_dir"]
-    labels_dir = inference_config["labels_dir"]
-    batch_size = int(inference_config["batch_size"])
-    model_path = inference_config.get("model_path")
+    from objectpermanence_tpu.config import inference_config_from
+    cfg = inference_config_from(inference_config)
 
-    spec, params = init_model(model_name, model_config, checkpoint_path=model_path)
-    dataset = ingest_directory(samples_dir, labels_dir, spec.feature_width,
-                               cache_dir=inference_config.get("cache_dir"))
-    predictions = predict_dataset(spec, params, dataset, batch_size, mesh)
+    spec, params = init_model(model_name, model_config,
+                              checkpoint_path=cfg.model_path)
+    dataset = ingest_directory(cfg.sample_dir, cfg.labels_dir,
+                               spec.feature_width, cache_dir=cfg.cache_dir)
+    predictions = predict_dataset(spec, params, dataset, cfg.batch_size, mesh)
 
     names = list(predictions.keys())
     last_boxes = np.stack([predictions[n][-1] for n in names]).astype(np.float64)

@@ -97,15 +97,17 @@ def write_debug_video(video_path, out_path, predictions: np.ndarray,
 
 
 def reasoning_inference_main(model_name: str, results_dir: str,
-                             inference_config: Dict, model_config: Dict,
+                             inference_config, model_config: Dict,
                              mesh=None) -> Dict[str, np.ndarray]:
     """Full inference driver: ingest -> batched forward -> per-video
     `<name>_bb.json` predictions (+ debug videos when raw videos exist)."""
-    samples_dir = inference_config["sample_dir"]
-    labels_dir = inference_config["labels_dir"]
-    batch_size = int(inference_config["batch_size"])
-    model_path = inference_config.get("model_path")
-    cache_dir = inference_config.get("cache_dir")
+    from objectpermanence_tpu.config import inference_config_from
+    cfg = inference_config_from(inference_config)
+    samples_dir = cfg.sample_dir
+    labels_dir = cfg.labels_dir
+    batch_size = cfg.batch_size
+    model_path = cfg.model_path
+    cache_dir = cfg.cache_dir
 
     spec, params = init_model(model_name, model_config, checkpoint_path=model_path)
     dataset = ingest_directory(samples_dir, labels_dir, spec.feature_width,
@@ -118,7 +120,7 @@ def reasoning_inference_main(model_name: str, results_dir: str,
     labels_px = (dataset.labels * np.asarray(FRAME_SHAPES, dtype=np.float32)).astype(np.int32)
     labels_by_name = dict(zip(dataset.names, labels_px))
 
-    videos_dir = inference_config.get("videos_dir")
+    videos_dir = cfg.videos_dir
     for name, boxes in predictions.items():
         write_bb_predictions(name, results_dir, boxes)
         if videos_dir:

@@ -3,6 +3,9 @@
 TPU-native rework of `baselines/training_main.py:120-252`:
 - the whole step (forward, loss, backward, Adam update) is ONE jit region
   with donated params/optimizer state — no host round-trips inside a batch
+- datasets are device-resident: arrays are put in HBM once and batches are
+  gathered ON DEVICE by index (H2D per step is just the index vector) —
+  critical when the host<->device link is slow
 - epoch-end evaluation (denormalize -> per-video mean IoU -> containment
   mIoU) runs fully on device as vectorized jnp, replacing the reference's
   numpy `ResultsAnalyzer` round-trip
@@ -11,8 +14,11 @@ TPU-native rework of `baselines/training_main.py:120-252`:
 - checkpoints are full training states (params + opt state + scheduler),
   resumable; best-dev params additionally saved like the reference's
   best-dev `.pth` (`training_main.py:19-29`)
+- observability: optional jax.profiler trace of epoch 1, jax_debug_nans,
+  per-epoch jsonl metrics, NaN-loss abort (reference `engine.py:42-45`)
 """
 
+import json
 import time
 from dataclasses import dataclass
 from datetime import date
@@ -25,10 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from objectpermanence_tpu.data.ingest import IngestedDataset, batches
+from objectpermanence_tpu.config import TrainingConfig, training_config_from
+from objectpermanence_tpu.data.ingest import IngestedDataset
 from objectpermanence_tpu.models.registry import ModelSpec
 from objectpermanence_tpu.ops.boxes import FRAME_SHAPES, iou_xyxy
-from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_batch
+from objectpermanence_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from objectpermanence_tpu.train.losses import total_loss
 from objectpermanence_tpu.train.plateau import ReduceLROnPlateau
 from objectpermanence_tpu.utils import checkpoint as ckpt
@@ -87,8 +94,41 @@ def make_eval_step(spec: ModelSpec):
     return eval_step
 
 
-def evaluate(spec: ModelSpec, eval_step, params, dataset: IngestedDataset,
-             batch_size: int, mesh) -> Dict[str, float]:
+class DeviceDataset:
+    """Dataset resident in device HBM; batches gathered on device by index
+    with the gather output sharded over the mesh's data axis."""
+
+    def __init__(self, dataset: IngestedDataset, mesh):
+        repl = replicate(mesh)
+        self.count = len(dataset)
+        self.boxes = jax.device_put(dataset.boxes, repl)
+        self.labels = jax.device_put(dataset.labels, repl)
+        mask = (dataset.containment_mask if dataset.containment_mask is not None
+                else np.zeros(dataset.labels.shape, dtype=bool))
+        self.mask = jax.device_put(mask, repl)
+        out = batch_sharding(mesh)
+        self._gather = jax.jit(
+            lambda boxes, labels, mask, idx: (boxes[idx], labels[idx], mask[idx]),
+            out_shardings=(out, out, out))
+
+    def batch(self, indices: np.ndarray):
+        return self._gather(self.boxes, self.labels, self.mask,
+                            jnp.asarray(indices, jnp.int32))
+
+    def batch_indices(self, batch_size: int, *, shuffle: bool = False, seed: int = 0):
+        """Yield (padded index vector, real count) covering the dataset."""
+        order = np.arange(self.count)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for start in range(0, self.count, batch_size):
+            sel = order[start:start + batch_size]
+            real = len(sel)
+            if real < batch_size:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], batch_size - real)])
+            yield sel, real
+
+
+def evaluate(eval_step, params, data: DeviceDataset, batch_size: int) -> Dict[str, float]:
     """Full-dataset eval: average loss, mean IoU, containment mIoU.
 
     Containment mIoU averages only videos with >=1 containment frame,
@@ -97,11 +137,9 @@ def evaluate(spec: ModelSpec, eval_step, params, dataset: IngestedDataset,
     total = 0
     loss_sum = 0.0
     video_ious, cont_sums, cont_counts = [], [], []
-    for batch in batches(dataset, batch_size):
-        padded, real = pad_batch_to(batch, batch_size)
-        sharded = shard_batch({k: v for k, v in padded.items() if k != "names"}, mesh)
-        metrics, vid_iou, c_sum, c_cnt = eval_step(
-            params, sharded["boxes"], sharded["labels"], sharded["mask"])
+    for indices, real in data.batch_indices(batch_size):
+        boxes, labels, mask = data.batch(indices)
+        metrics, vid_iou, c_sum, c_cnt = eval_step(params, boxes, labels, mask)
         loss_sum += float(metrics["loss"]) * real
         video_ious.append(np.asarray(vid_iou)[:real])
         cont_sums.append(np.asarray(c_sum)[:real])
@@ -131,41 +169,42 @@ class TrainResult:
 
 
 def training_main(spec: ModelSpec, train_dataset: IngestedDataset,
-                  dev_dataset: IngestedDataset, train_config: Dict[str, Any],
-                  model_config: Dict[str, int], *, mesh=None, seed: int = 0,
+                  dev_dataset: IngestedDataset, train_config,
+                  model_config: Dict[str, int], *, mesh=None,
                   resume: bool = False) -> TrainResult:
     """Full training run with the reference's recipe
     (`configs/training_config.json`): Adam, plateau LR on train loss,
     best-dev-mIoU checkpointing."""
-    batch_size = train_config["batch_size"]
-    num_epochs = train_config["num_epochs"]
-    learning_rate = train_config["learning_rate"]
-    print_step = train_config.get("print_step", 100)
-    eval_batch_size = train_config.get("inference_batch_size", 400)
-    checkpoints_path = Path(train_config.get("checkpoints_path", "./checkpoints"))
-    eval_batch_size = min(eval_batch_size, max(len(train_dataset), len(dev_dataset), 1))
+    cfg: TrainingConfig = training_config_from(train_config)
+    seed = cfg.seed
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if mesh is None:
         mesh = make_mesh()
     # batches are padded to a fixed size; keep them divisible by the mesh
     data_par = mesh.shape["data"]
-    batch_size = -(-batch_size // data_par) * data_par
+    batch_size = -(-cfg.batch_size // data_par) * data_par
+    eval_batch_size = min(cfg.inference_batch_size,
+                          max(len(train_dataset), len(dev_dataset), 1))
     eval_batch_size = -(-eval_batch_size // data_par) * data_par
 
+    train_data = DeviceDataset(train_dataset, mesh)
+    dev_data = DeviceDataset(dev_dataset, mesh)
+
     params = spec.init(jax.random.PRNGKey(seed), model_config)
-    optimizer = make_optimizer(learning_rate)
+    optimizer = make_optimizer(cfg.learning_rate)
     opt_state = optimizer.init(params)
-    scheduler = ReduceLROnPlateau(
-        lr=learning_rate,
-        factor=train_config.get("lr_scheduler_factor", 0.8),
-        patience=train_config.get("lr_scheduler_patience", 2),
-    )
+    scheduler = ReduceLROnPlateau(lr=cfg.learning_rate,
+                                  factor=cfg.lr_scheduler_factor,
+                                  patience=cfg.lr_scheduler_patience)
 
     start_epoch = 0
     # -1 (not the reference's 0, `training_main.py:163`) so the first epoch
     # always produces a best-dev checkpoint even while dev mIoU is still 0.
     highest_dev_iou = -1.0
-    ckpt_dir = checkpoints_path / spec.name
+    ckpt_dir = Path(cfg.checkpoints_path) / spec.name
     if resume:
         latest = ckpt.latest_checkpoint(ckpt_dir / "resume")
         if latest is not None:
@@ -181,48 +220,67 @@ def training_main(spec: ModelSpec, train_dataset: IngestedDataset,
     rng = jax.random.PRNGKey(seed + 1)
     history = []
     start_time = time.time()
+    metrics_path = Path(cfg.metrics_file) if cfg.metrics_file else None
 
-    for epoch in range(start_epoch, num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         epoch_num = epoch + 1
+        profiling = cfg.profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
+        epoch_start = time.time()
         running = {"loss": 0.0, "pred_loss": 0.0, "consistency_loss": 0.0}
         pending = []  # async metric pulls — don't block the device per batch
 
-        for batch_idx, batch in enumerate(
-                batches(train_dataset, batch_size, shuffle=True, seed=seed + epoch), 1):
-            padded, _ = pad_batch_to(batch, batch_size)
-            sharded = shard_batch({k: v for k, v in padded.items() if k != "names"}, mesh)
+        for batch_idx, (indices, _real) in enumerate(
+                train_data.batch_indices(batch_size, shuffle=True,
+                                         seed=seed + epoch), 1):
+            boxes, labels, mask = train_data.batch(indices)
             rng, step_rng = jax.random.split(rng)
             params, opt_state, metrics = train_step(
-                params, opt_state, sharded["boxes"], sharded["labels"],
-                sharded["mask"], step_rng)
+                params, opt_state, boxes, labels, mask, step_rng)
             pending.append(metrics)
 
-            if batch_idx % print_step == 0:
+            if batch_idx % cfg.print_step == 0:
                 for m in pending:
                     for key in running:
                         running[key] += float(m[key])
                 pending = []
+                if not np.isfinite(running["loss"]):
+                    raise RuntimeError(
+                        f"Loss is {running['loss'] / cfg.print_step}, "
+                        f"stopping training")  # reference engine.py:42-45
                 elapsed = int(time.time() - start_time)
                 print(
                     f"Train Epoch: {epoch_num} [{batch_idx * batch_size}/"
                     f"{len(train_dataset)}]\t Average Loss: Total "
-                    f"{running['loss'] / print_step:.4f}, Pred "
-                    f"{running['pred_loss'] / print_step:.4f} Consistent "
-                    f"{running['consistency_loss'] / print_step:.4f} "
+                    f"{running['loss'] / cfg.print_step:.4f}, Pred "
+                    f"{running['pred_loss'] / cfg.print_step:.4f} Consistent "
+                    f"{running['consistency_loss'] / cfg.print_step:.4f} "
                     f"Training began {elapsed} seconds ago")
                 running = {k: 0.0 for k in running}
 
-        train_metrics = evaluate(spec, eval_step, params, train_dataset,
-                                 eval_batch_size, mesh)
-        dev_metrics = evaluate(spec, eval_step, params, dev_dataset,
-                               eval_batch_size, mesh)
+        if profiling:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+
+        train_metrics = evaluate(eval_step, params, train_data, eval_batch_size)
+        dev_metrics = evaluate(eval_step, params, dev_data, eval_batch_size)
+        if not np.isfinite(train_metrics["loss"]):
+            raise RuntimeError(f"Loss is {train_metrics['loss']}, stopping training")
         print(f"Epoch {epoch_num} Training Set: Loss {train_metrics['loss']:.4f}, "
               f"Mean IoU {train_metrics['mean_iou']:.6f}, "
               f"Mask Mean Iou {train_metrics['containment_mean_iou']:.6f}")
         print(f"Epoch {epoch_num} Dev Set: Loss {dev_metrics['loss']:.4f}, "
               f"Mean IoU {dev_metrics['mean_iou']:.6f}, "
               f"Mask Mean Iou {dev_metrics['containment_mean_iou']:.6f}")
-        history.append({"epoch": epoch_num, "train": train_metrics, "dev": dev_metrics})
+        epoch_record = {"epoch": epoch_num, "train": train_metrics,
+                        "dev": dev_metrics,
+                        "epoch_seconds": round(time.time() - epoch_start, 2),
+                        "learning_rate": scheduler.lr}
+        history.append(epoch_record)
+        if metrics_path is not None:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(epoch_record) + "\n")
 
         new_lr = scheduler.step(train_metrics["loss"])
         opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr, dtype=jnp.float32)
