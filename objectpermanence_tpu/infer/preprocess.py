@@ -53,15 +53,26 @@ def detections_to_lists(boxes: np.ndarray, labels: np.ndarray, scores: np.ndarra
 def preprocess_main(results_dir: str, config: Dict) -> List[str]:
     """Run the detector over every video in `config['videos_dir']` and write
     `<name>.pkl` per video (only if exactly 300 frames, like the reference's
-    guard at `preprocess_perception_main.py:92-96`)."""
+    guard at `preprocess_perception_main.py:92-96`).
+
+    Optional config keys tune the detector: `min_size`/`max_size` (input
+    scale — the reference recipe resizes to 800, `min_size: 240` runs at
+    native CATER resolution, ~10x cheaper), `rpn_post_nms_top_n`,
+    `detections_per_img`, `score_thresh`."""
     from objectpermanence_tpu.models.detector import CaterDetector
+    from objectpermanence_tpu.models.detector.detector import DetectorConfig
 
     videos_dir = Path(config["videos_dir"])
     results_dir = Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
     batch_size = int(config.get("batch_size", 16))
 
-    detector = CaterDetector.load(config.get("od_model_weights"))
+    overrides = {key: config[key] for key in
+                 ("min_size", "max_size", "rpn_pre_nms_top_n",
+                  "rpn_post_nms_top_n", "detections_per_img", "score_thresh")
+                 if key in config}
+    det_config = DetectorConfig(**overrides) if overrides else None
+    detector = CaterDetector.load(config.get("od_model_weights"), det_config)
 
     written = []
     for video_path in sorted(videos_dir.glob("*.avi")):

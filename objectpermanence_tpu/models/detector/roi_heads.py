@@ -9,7 +9,7 @@ import numpy as np
 
 from objectpermanence_tpu.models.detector.boxcoder import ROI_WEIGHTS, clip_to_image, decode
 from objectpermanence_tpu.ops.nms import NEG_INF, batched_class_nms, top_k_by_score
-from objectpermanence_tpu.ops.roi_align import roi_align
+from objectpermanence_tpu.ops.roi_align import multilevel_roi_align, roi_align
 
 # FPN levels P2..P5 used for RoI pooling, with strides 4..32
 ROI_STRIDES = (4, 8, 16, 32)
@@ -26,15 +26,11 @@ def assign_levels(rois: jax.Array, k_min: int = 2, k_max: int = 5) -> jax.Array:
 def multiscale_roi_align(features: List[jax.Array], rois: jax.Array,
                          pooled: int = 7, sampling_ratio: int = 2) -> jax.Array:
     """features: [P2..P5] each (C, H_l, W_l); rois (N, 4) image coords.
-    Pools every roi from every level, then selects by assigned level —
-    static shapes, no gather of ragged per-level subsets."""
+    Each roi is pooled from its assigned level only, via a single gather
+    from the concatenated level table (`ops.roi_align.multilevel_roi_align`)."""
     levels = assign_levels(rois)
-    pooled_all = jnp.stack([
-        roi_align(feat, rois, 1.0 / stride, pooled, sampling_ratio)
-        for feat, stride in zip(features, ROI_STRIDES)
-    ])  # (L, N, C, p, p)
-    one_hot = jax.nn.one_hot(levels, pooled_all.shape[0], dtype=pooled_all.dtype)
-    return jnp.einsum("lnchw,nl->nchw", pooled_all, one_hot)
+    return multilevel_roi_align(features, rois, levels, ROI_STRIDES,
+                                pooled, sampling_ratio)
 
 
 def box_head_init(key, in_channels: int = 256, pooled: int = 7,

@@ -26,6 +26,13 @@ def nms_mask(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.A
     treated as padding. Returns a boolean keep mask aligned with the INPUT
     order. Boxes are processed highest-score first; a box is suppressed if
     it overlaps an already-kept box with IoU > iou_threshold.
+
+    Implementation: greedy NMS is the unique fixed point of
+        keep[i] = valid[i] and not any(j < i and overlap[j, i] and keep[j]),
+    computed by fixed-point iteration — each round is one dense
+    matrix-vector step on the VPU and rounds needed = the suppression-chain
+    depth (a handful in practice), instead of N sequential scalar steps.
+    Exactness is guarded by iterating until convergence (bounded by N).
     """
     n = boxes.shape[0]
     order = jnp.argsort(-scores)
@@ -34,15 +41,23 @@ def nms_mask(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.A
 
     iou = pairwise_iou_xyxy(sorted_boxes, sorted_boxes)
     idx = jnp.arange(n)
+    # overlap[j, i]: j precedes i in score order and suppresses it
+    overlap = jnp.logical_and(iou > iou_threshold, idx[:, None] < idx[None, :])
+    overlap_f = overlap.astype(jnp.float32)
 
-    def body(i, suppressed):
-        keep_i = jnp.logical_and(~suppressed[i], valid[i])
-        newly = jnp.logical_and(keep_i, jnp.logical_and(iou[i] > iou_threshold,
-                                                        idx > i))
-        return jnp.logical_or(suppressed, newly)
+    def cond(state):
+        keep, prev, rounds = state
+        return jnp.logical_and(jnp.any(keep != prev), rounds < n)
 
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))
-    keep_sorted = jnp.logical_and(~suppressed, valid)
+    def body(state):
+        keep, _, rounds = state
+        suppressed = (keep.astype(jnp.float32) @ overlap_f) > 0
+        new_keep = jnp.logical_and(valid, ~suppressed)
+        return new_keep, keep, rounds + 1
+
+    keep0 = valid
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), 0))
     # scatter back to input order
     keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
     return keep
