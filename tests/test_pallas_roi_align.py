@@ -1,0 +1,41 @@
+"""Pallas RoIAlign (matmul formulation) vs the gather path, interpret mode."""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+import objectpermanence_tpu.ops.pallas_roi_align as pra
+from objectpermanence_tpu.models.detector.roi_heads import ROI_STRIDES, assign_levels
+from objectpermanence_tpu.ops.roi_align import multilevel_roi_align
+
+
+def test_pallas_roi_align_matches_gather():
+    rng = np.random.RandomState(0)
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.rand(8, h, w).astype(np.float32)) for h, w in shapes]
+    rois = []
+    for size in (20, 80, 200, 500):
+        for _ in range(3):
+            x1, y1 = rng.uniform(0, 40), rng.uniform(0, 30)
+            rois.append([x1, y1, x1 + size, y1 + size])
+    rois = jnp.asarray(np.array(rois, np.float32))
+    levels = assign_levels(rois)
+
+    ref = multilevel_roi_align(feats, rois, levels, ROI_STRIDES)
+
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas(feats, rois, levels, ROI_STRIDES)
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_levels_fit_vmem():
+    small = [jnp.zeros((256, 64, 80)), jnp.zeros((256, 32, 40))]
+    big = [jnp.zeros((256, 200, 272))]
+    assert pra.levels_fit_vmem(small)
+    assert not pra.levels_fit_vmem(big)
