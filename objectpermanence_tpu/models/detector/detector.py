@@ -35,6 +35,8 @@ class DetectorConfig:
     max_size: int = 1333
     backbone_layers: Tuple[int, ...] = (3, 4, 6, 3)
     backbone_width: int = 64
+    backbone_norm: str = "frozen"     # "frozen" (pretrained fine-tune) or
+                                      # "group" (from-scratch training)
     fpn_channels: int = 256
     anchor_sizes: Tuple[float, ...] = anchor_lib.DEFAULT_SIZES
     rpn_pre_nms_top_n: int = 1000
@@ -71,7 +73,8 @@ class DetectorConfig:
 def detector_init(key, config: DetectorConfig, dtype=jnp.float32) -> Dict:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     backbone = resnet.resnet_init(k1, config.backbone_layers,
-                                  config.backbone_width, dtype)
+                                  config.backbone_width, dtype,
+                                  norm=config.backbone_norm)
     channels = resnet.out_channels(config.backbone_layers, config.backbone_width)
     return {
         "backbone": backbone,
@@ -96,7 +99,8 @@ def preprocess_images(images: jax.Array, config: DetectorConfig) -> jax.Array:
 
 def forward_features(params, images_prepped, config: DetectorConfig):
     """Backbone + FPN over preprocessed images -> [P2..P6] (NHWC)."""
-    backbone_feats = resnet.resnet_apply(params["backbone"], images_prepped)
+    backbone_feats = resnet.resnet_apply(params["backbone"], images_prepped,
+                                         norm=config.backbone_norm)
     return fpn.fpn_apply(params["fpn"], backbone_feats)
 
 

@@ -68,6 +68,7 @@ def train_detector(train_dataset: DetectionDataset,
     schedule = warmup_schedule(learning_rate, min(warmup_iters, steps_per_epoch - 1)
                                if steps_per_epoch > 1 else 1)
     optimizer = optax.chain(
+        optax.clip_by_global_norm(10.0),   # from-scratch detection stability
         optax.add_decayed_weights(weight_decay),
         optax.sgd(schedule, momentum=momentum),
     )
