@@ -9,7 +9,7 @@ key names are exactly the reference's (`configs/*.json`).
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, Optional
 

@@ -11,7 +11,7 @@ emits snitch-visibility-ratio annotation files.
 import json
 import pickle
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ a single device->host transfer of int32 pixel boxes, then host-side json
 """
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -6,17 +6,14 @@ frames, call the stateful reasoner, render debug boxes, and write the
 videos are optional for it; the SiamRPN tracker path reads frames.
 """
 
-import json
 import pickle
 from pathlib import Path
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, List
 
 from objectpermanence_tpu import VIDEO_NUM_FRAMES
 from objectpermanence_tpu.analysis.analyzer import write_bb_predictions
 from objectpermanence_tpu.models.heuristic import AbstractReasoner, HeuristicReasoner
-from objectpermanence_tpu.vocab import SNITCH_TRACK_NAME, large_cone_indices
+from objectpermanence_tpu.vocab import large_cone_indices
 
 LARGE_CONE_IDS = set(large_cone_indices())
 

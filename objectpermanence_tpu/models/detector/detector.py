@@ -8,7 +8,7 @@ and detections are fixed-width padded arrays with NEG_INF score padding.
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax

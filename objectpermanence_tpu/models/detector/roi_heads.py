@@ -9,7 +9,7 @@ import numpy as np
 
 from objectpermanence_tpu.models.detector.boxcoder import ROI_WEIGHTS, clip_to_image, decode
 from objectpermanence_tpu.ops.nms import NEG_INF, batched_class_nms, top_k_by_score
-from objectpermanence_tpu.ops.roi_align import multilevel_roi_align, roi_align
+from objectpermanence_tpu.ops.roi_align import multilevel_roi_align
 
 # FPN levels P2..P5 used for RoI pooling, with strides 4..32
 ROI_STRIDES = (4, 8, 16, 32)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from objectpermanence_tpu.models.detector.boxcoder import RPN_WEIGHTS, clip_to_image, decode
-from objectpermanence_tpu.models.detector.resnet import conv2d, conv_init
+from objectpermanence_tpu.models.detector.resnet import conv2d
 from objectpermanence_tpu.ops.nms import NEG_INF, nms_mask, top_k_by_score
 
 

@@ -12,8 +12,6 @@ every shape static. Sampling uses jax PRNG (deterministic per step).
 """
 
 from functools import partial
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

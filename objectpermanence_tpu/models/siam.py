@@ -17,7 +17,7 @@ from the reference snapshot too); `convert_torch_state_dict` maps it into
 our parameter tree when a user supplies it.
 """
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -9,8 +9,6 @@ needed. The implementation below is parameter-compatible with
 `torch.nn.TransformerEncoderLayer` for float-tolerance parity tests.
 """
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

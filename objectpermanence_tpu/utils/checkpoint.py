@@ -7,10 +7,9 @@ checkpoints are full training states so interrupted runs restart cleanly.
 
 import json
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -20,8 +19,12 @@ def _as_abs(path) -> Path:
 
 def save_params(path, params) -> None:
     """Save a bare parameter pytree (the reference's `torch.save(state_dict)`
-    analogue, `training_main.py:27-28`)."""
+    analogue, `training_main.py:27-28`). Overwrites like torch.save —
+    best-checkpoint names derive from rounded metrics and can repeat."""
     path = _as_abs(path)
+    if path.exists():
+        import shutil
+        shutil.rmtree(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(params))
 
@@ -36,9 +39,13 @@ def restore_params(path, like_params):
 
 
 def save_train_state(path, params, opt_state, metadata: dict) -> None:
-    """Full resumable state: params + optax opt_state + host metadata."""
+    """Full resumable state: params + optax opt_state + host metadata.
+    Overwrites (a re-run after resume revisits epoch numbers)."""
     path = _as_abs(path)
     state = {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)}
+    if (path / "state").exists():
+        import shutil
+        shutil.rmtree(path / "state")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state)
     (path / "metadata.json").write_text(json.dumps(metadata, default=float))

@@ -4,7 +4,7 @@ Port of `generate/gen_utils.py:24-47` + the ffmpeg frame-count check in
 `gen_train_test.py:209-228`, using cv2 instead of shelling out."""
 
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict
 
 
 def video_frame_count(video_path) -> int:
