@@ -45,29 +45,36 @@ def layernorm_apply(params, x, *, eps: float = 1e-5):
 
 def mha_init(key, dim: int, num_heads: int, dtype=jnp.float32):
     """torch.nn.MultiheadAttention layout: fused in-projection (xavier_uniform
-    over the stacked (3D, D) weight, zero bias) + out-projection."""
+    over the stacked (3D, D) weight, zero bias) + out-projection.
+
+    The head count is encoded STRUCTURALLY — `w_in` is stored as
+    (D, 3, num_heads, head_dim) — so the parameter pytree holds only float
+    arrays (an int leaf would break `jax.grad` over the params)."""
     assert dim % num_heads == 0
+    head_dim = dim // num_heads
     k_in, k_out = jax.random.split(key)
     # xavier_uniform on torch's (3D, D) in_proj_weight: gain * sqrt(6/(3D+D))
     bound = np.sqrt(6.0 / (3 * dim + dim))
-    w_in = jax.random.uniform(k_in, (dim, 3 * dim), dtype, -bound, bound)
+    w_in = jax.random.uniform(k_in, (dim, 3, num_heads, head_dim), dtype,
+                              -bound, bound)
     out = linear_init(k_out, dim, dim, dtype=dtype)
     out["b"] = jnp.zeros_like(out["b"])  # torch zeroes the out_proj bias
     return {
         "w_in": w_in,
-        "b_in": jnp.zeros((3 * dim,), dtype),
+        "b_in": jnp.zeros((3, num_heads, head_dim), dtype),
         "out": out,
-        "num_heads": num_heads,
     }
 
 
 def mha_apply(params, x, *, precision=None):
-    """Self-attention over `x: (N, L, D)` with `num_heads` heads."""
-    num_heads = params["num_heads"]
+    """Self-attention over `x: (N, L, D)`; head count from w_in's shape."""
+    num_heads = params["w_in"].shape[2]
     n, length, dim = x.shape
     head_dim = dim // num_heads
 
-    qkv = jnp.einsum("nld,de->nle", x, params["w_in"], precision=precision) + params["b_in"]
+    w_in = params["w_in"].reshape(dim, 3 * dim)
+    b_in = params["b_in"].reshape(3 * dim)
+    qkv = jnp.einsum("nld,de->nle", x, w_in, precision=precision) + b_in
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):

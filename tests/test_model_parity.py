@@ -203,8 +203,14 @@ def test_transformer_lstm_parity():
     _copy_linear(params["box_proj"], t_model.box_proj)
     for i, t_layer in enumerate(t_model.encoder.layers):
         j_layer = params["encoder"][i]
-        j_layer["attn"]["w_in"] = jnp.asarray(t_layer.self_attn.in_proj_weight.detach().numpy().T)
-        j_layer["attn"]["b_in"] = jnp.asarray(t_layer.self_attn.in_proj_bias.detach().numpy())
+        heads = TRANSFORMER_CFG["num_attention_heads"]
+        d = TRANSFORMER_CFG["boxes_features_dim"]
+        j_layer["attn"]["w_in"] = jnp.asarray(
+            t_layer.self_attn.in_proj_weight.detach().numpy().T
+        ).reshape(d, 3, heads, d // heads)
+        j_layer["attn"]["b_in"] = jnp.asarray(
+            t_layer.self_attn.in_proj_bias.detach().numpy()
+        ).reshape(3, heads, d // heads)
         _copy_linear(j_layer["attn"]["out"], t_layer.self_attn.out_proj)
         _copy_linear(j_layer["ff1"], t_layer.linear1)
         _copy_linear(j_layer["ff2"], t_layer.linear2)
