@@ -49,13 +49,40 @@ def _reasoner_box(reasoner: AbstractReasoner) -> List[int]:
 
 def track_video(reasoner: AbstractReasoner, prediction_data: Dict,
                 num_frames: int = VIDEO_NUM_FRAMES,
-                frames_reader=None) -> List[List[int]]:
-    """Run the stateful reasoner over one video's detections."""
+                frames_reader=None, debug_writer=None,
+                gt_boxes=None) -> List[List[int]]:
+    """Run the stateful reasoner over one video's detections; optionally
+    render the reference's debug overlay (tracked box yellow, GT blue,
+    carried-object box red — `inference_main.py:82-114`)."""
+    import numpy as _np
+
     predictions = []
     for frame_idx in range(num_frames):
         frame = frames_reader(frame_idx) if frames_reader is not None else None
         reasoner.track_for_frame(frame, frame_idx, prediction_data)
-        predictions.append(_reasoner_box(reasoner))
+        box = _reasoner_box(reasoner)
+        predictions.append(box)
+
+        if debug_writer is not None and frame is not None:
+            import cv2
+            state = reasoner.state
+            if reasoner.snitch_visible:
+                tracked = [int(v) for v in state["snitch_box"]]
+            else:
+                cx, cy = state["target_pos"]
+                w, h = state["target_sz"]
+                tracked = [int(cx - w / 2), int(cy - h / 2),
+                           int(cx + w / 2), int(cy + h / 2)]
+            canvas = _np.ascontiguousarray(frame)
+            cv2.rectangle(canvas, (tracked[0], tracked[1]),
+                          (tracked[2], tracked[3]), (0, 255, 255), 3)
+            if gt_boxes is not None:
+                g = [int(v) for v in gt_boxes[frame_idx]]
+                cv2.rectangle(canvas, (g[0], g[1]), (g[2], g[3]), (255, 0, 0), 3)
+            if "object_sz" in state and not reasoner.snitch_visible:
+                cv2.rectangle(canvas, (box[0], box[1]), (box[2], box[3]),
+                              (0, 0, 255), 3)
+            debug_writer.write(canvas)
     return predictions
 
 
@@ -74,6 +101,8 @@ def trackers_inference_main(model_type: str, results_dir: str,
             wanted = {Path(line.strip()).stem for line in f if line.strip()}
         names = [n for n in names if n in wanted]
 
+    labels_dir = config.get("labels_dir")
+
     all_predictions = {}
     for name in names:
         with open(samples_dir / f"{name}.pkl", "rb") as f:
@@ -82,19 +111,38 @@ def trackers_inference_main(model_type: str, results_dir: str,
 
         frames_reader = None
         cap = None
-        if model_type == "detector_tracker":
+        debug_writer = None
+        gt_boxes = None
+        video_path = Path(videos_dir) / f"{name}.avi" if videos_dir else None
+        if video_path is not None and video_path.exists():
             import cv2
-            video_path = Path(videos_dir) / f"{name}.avi"
             cap = cv2.VideoCapture(str(video_path))
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            debug_writer = cv2.VideoWriter(
+                str(results_dir / f"{name}_results.avi"),
+                cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
 
             def frames_reader(_idx, _cap=cap):
                 ok, frame = _cap.read()
                 return frame if ok else None
 
+            if labels_dir:
+                from objectpermanence_tpu.analysis.analyzer import parse_gt_bb_json
+                gt_path = Path(labels_dir) / f"{name}_bb.json"
+                if gt_path.exists():
+                    gt_boxes = parse_gt_bb_json(gt_path)
+        elif model_type == "detector_tracker":
+            raise FileNotFoundError(
+                f"detector_tracker needs raw video pixels; missing {video_path}")
+
         reasoner = get_tracker_model(model_type, model_weights)
-        predictions = track_video(reasoner, prediction_data, num_frames, frames_reader)
+        predictions = track_video(reasoner, prediction_data, num_frames,
+                                  frames_reader, debug_writer, gt_boxes)
         if cap is not None:
             cap.release()
+        if debug_writer is not None:
+            debug_writer.release()
         write_bb_predictions(name, results_dir, predictions)
         all_predictions[name] = predictions
     return all_predictions
