@@ -72,11 +72,16 @@ def make_train_step(spec: ModelSpec, optimizer):
 
 
 def make_eval_step(spec: ModelSpec):
-    """Batch eval: loss pieces + per-video IoU stats, all on device."""
+    """Batch eval: loss pieces + per-video IoU stats, all on device.
+    On TPU the LSTM recurrences use the fused Pallas scan (bit-exact vs the
+    XLA path; no autodiff needed in eval)."""
+    on_tpu = jax.default_backend() == "tpu"
 
     @jax.jit
     def eval_step(params, boxes, labels, mask):
-        out = _forward(spec, params, boxes, True, None)
+        from objectpermanence_tpu.ops import lstm as lstm_ops
+        with lstm_ops.fused_scan(on_tpu):
+            out = _forward(spec, params, boxes, True, None)
         _, metrics = total_loss(out, labels, mask, spec.no_labels)
 
         # reference denormalizes to int32 pixels before IoU
