@@ -25,9 +25,13 @@ def l1_pred_loss(output: jnp.ndarray, labels: jnp.ndarray,
     return jnp.mean(loss)
 
 
-def consistency_loss(output: jnp.ndarray) -> jnp.ndarray:
+def consistency_loss(output: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Mean L2 norm of adjacent-frame deltas. The plain norm has a NaN
+    gradient at exactly-zero deltas (d/dx sqrt(x) at 0), which real runs hit
+    once the model emits identical adjacent boxes — the eps inside the sqrt
+    keeps the gradient finite while changing the value by < 1e-6."""
     deltas = output[:, 1:, :] - output[:, :-1, :]
-    return jnp.mean(jnp.linalg.norm(deltas, axis=-1))
+    return jnp.mean(jnp.sqrt(jnp.sum(deltas * deltas, axis=-1) + eps))
 
 
 def total_loss(output: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
