@@ -74,8 +74,17 @@ def preprocess_main(results_dir: str, config: Dict) -> List[str]:
     det_config = DetectorConfig(**overrides) if overrides else None
     detector = CaterDetector.load(config.get("od_model_weights"), det_config)
 
+    video_paths = sorted(videos_dir.glob("*.avi"))
+    sample_file = config.get("sample_file")
+    if sample_file:
+        # restrict to the listed videos (reference `get_experiment_videos`,
+        # `inference_main.py:22-41`)
+        with open(sample_file) as f:
+            wanted = {Path(line.strip()).stem for line in f if line.strip()}
+        video_paths = [p for p in video_paths if p.stem in wanted]
+
     written = []
-    for video_path in sorted(videos_dir.glob("*.avi")):
+    for video_path in video_paths:
         try:
             frames = read_video_frames(video_path)
             if len(frames) != VIDEO_NUM_FRAMES:

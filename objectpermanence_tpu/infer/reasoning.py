@@ -121,9 +121,15 @@ def reasoning_inference_main(model_name: str, results_dir: str,
     labels_by_name = dict(zip(dataset.names, labels_px))
 
     videos_dir = cfg.videos_dir
+    debug_names = set(predictions)
+    if cfg.sample_file:
+        # debug-video rendering restricted to the sampled videos
+        # (reference `get_experiment_videos`, `inference_main.py:22-41`)
+        with open(cfg.sample_file) as f:
+            debug_names &= {Path(line.strip()).stem for line in f if line.strip()}
     for name, boxes in predictions.items():
         write_bb_predictions(name, results_dir, boxes)
-        if videos_dir:
+        if videos_dir and name in debug_names:
             video_path = Path(videos_dir) / f"{name}.avi"
             if video_path.exists():
                 write_debug_video(video_path, results_dir / f"{name}_results.avi",
