@@ -79,8 +79,9 @@ def lstm_apply(params: Dict[str, jax.Array], x: jax.Array, *,
     (B, H) recurrence.
     """
     if _USE_FUSED_SCAN:
-        from objectpermanence_tpu.ops.pallas_scan import lstm_scan_pallas
-        return lstm_scan_pallas(params, x)
+        # custom-VJP Pallas kernels: differentiable, so training can use it too
+        from objectpermanence_tpu.ops.pallas_scan import lstm_scan_fused
+        return lstm_scan_fused(params, x)
 
     w_ih, w_hh = params["w_ih"], params["w_hh"]
     batch, seq_len, _ = x.shape

@@ -64,6 +64,207 @@ def _lstm_kernel(xproj_ref, w_hh_ref, out_ref, h_ref, c_ref):
     out_ref[0] = h
 
 
+# ---------------------------------------------------------------------------
+# Custom-VJP fused LSTM: forward + reverse-time backward kernels
+# ---------------------------------------------------------------------------
+
+def _lstm_fwd_kernel(xproj_ref, w_hh_ref, out_h_ref, out_c_ref, h_ref, c_ref):
+    hidden = w_hh_ref.shape[0]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    gates = xproj_ref[0] + jnp.dot(h_ref[:], w_hh_ref[:],
+                                   preferred_element_type=jnp.float32)
+    i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
+    f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
+    c = f * c_ref[:] + i * g
+    h = o * jnp.tanh(c)
+    c_ref[:] = c
+    h_ref[:] = h
+    out_h_ref[0] = h
+    out_c_ref[0] = c
+
+
+def _lstm_bwd_kernel(xproj_ref, h_prev_ref, c_prev_ref, c_ref, dh_out_ref,
+                     w_hh_ref, dxproj_ref, dwhh_ref,
+                     dh_ref, dc_ref, dwhh_acc):
+    """One reversed time step: recompute gates from residuals, propagate
+    (dh, dc) backwards, emit dgates (== dxproj) and accumulate dW_hh."""
+    hidden = w_hh_ref.shape[0]
+    t_rev = pl.program_id(1)
+    num_t = pl.num_programs(1)
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dwhh_acc[:] = jnp.zeros_like(dwhh_acc)
+
+    h_prev = h_prev_ref[0]
+    gates = xproj_ref[0] + jnp.dot(h_prev, w_hh_ref[:],
+                                   preferred_element_type=jnp.float32)
+    i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
+    f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
+
+    dh_total = dh_out_ref[0] + dh_ref[:]
+    tanh_c = jnp.tanh(c_ref[0])
+    dc = dc_ref[:] + dh_total * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g * i * (1.0 - i)
+    df = dc * c_prev_ref[0] * f * (1.0 - f)
+    dg = dc * i * (1.0 - g * g)
+    do = dh_total * tanh_c * o * (1.0 - o)
+    dgates = jnp.concatenate([di, df, dg, do], axis=1)      # (Bt, 4H)
+
+    dxproj_ref[0] = dgates
+    # dW_hh += h_prev^T @ dgates (contract the batch dim, no transpose op)
+    dwhh_acc[:] = dwhh_acc[:] + jax.lax.dot_general(
+        h_prev, dgates, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # carry to the previous step
+    dh_ref[:] = jax.lax.dot_general(
+        dgates, w_hh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dc_ref[:] = dc * f
+
+    @pl.when(t_rev == num_t - 1)
+    def _():
+        dwhh_ref[0] = dwhh_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _lstm_fwd_pallas(w_hh, xproj, *, block_b: int, interpret: bool):
+    """xproj: time-major (T, B, 4H) -> (hs (T, B, H), cs (T, B, H))."""
+    seq_len, batch, _ = xproj.shape
+    hidden = w_hh.shape[0]
+    grid = (batch // block_b, seq_len)
+    return pl.pallas_call(
+        _lstm_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((hidden, 4 * hidden), lambda b, t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, block_b, hidden), lambda b, t: (t, b, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, batch, hidden), xproj.dtype),
+            jax.ShapeDtypeStruct((seq_len, batch, hidden), xproj.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xproj, w_hh)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _lstm_bwd_pallas(w_hh, xproj, h_prev, c_prev, cs, dh_out, *,
+                     block_b: int, interpret: bool):
+    """Reverse-time backward. All sequence inputs time-major (T, B, .).
+    Returns (dxproj (T, B, 4H), dwhh_partial (num_btiles, H, 4H))."""
+    seq_len, batch, _ = xproj.shape
+    hidden = w_hh.shape[0]
+    nb = batch // block_b
+    grid = (nb, seq_len)
+
+    def rev(b, t):
+        return (seq_len - 1 - t, b, 0)
+
+    return pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b, 4 * hidden), rev),
+            pl.BlockSpec((1, block_b, hidden), rev),
+            pl.BlockSpec((1, block_b, hidden), rev),
+            pl.BlockSpec((1, block_b, hidden), rev),
+            pl.BlockSpec((1, block_b, hidden), rev),
+            pl.BlockSpec((hidden, 4 * hidden), lambda b, t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_b, 4 * hidden), rev),
+            pl.BlockSpec((1, hidden, 4 * hidden), lambda b, t: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, batch, 4 * hidden), xproj.dtype),
+            jax.ShapeDtypeStruct((nb, hidden, 4 * hidden), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+            pltpu.VMEM((hidden, 4 * hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xproj, h_prev, c_prev, cs, dh_out, w_hh)
+
+
+BWD_BLOCK_B = 64  # backward streams 6 per-step buffers; keep VMEM in budget
+_INTERPRET_VJP = False  # flipped by tests to run the kernels on CPU
+
+
+def _pad_batch(x, block_b):
+    batch = x.shape[0]
+    padded = -(-batch // block_b) * block_b
+    if padded != batch:
+        x = jnp.pad(x, ((0, padded - batch),) + ((0, 0),) * (x.ndim - 1))
+    return x
+
+
+@jax.custom_vjp
+def lstm_scan_fused(params, x):
+    """Differentiable fused LSTM layer: `x (B, T, D) -> (B, T, H)` with both
+    forward and backward as Pallas reverse-time scans (custom VJP)."""
+    return _fused_fwd(params, x)[0]
+
+
+def _fused_fwd(params, x):
+    batch = x.shape[0]
+    block_b = min(DEFAULT_BLOCK_B, max(8, batch))
+    xp = _pad_batch(x, block_b)
+    xproj = jnp.einsum("btd,dh->tbh", xp, params["w_ih"])
+    hs, cs = _lstm_fwd_pallas(params["w_hh"], xproj, block_b=block_b,
+                              interpret=_INTERPRET_VJP)
+    out = jnp.moveaxis(hs, 0, 1)[:batch]
+    return out, (params, x, hs, cs)
+
+
+def _fused_bwd(residuals, dout):
+    params, x, hs, cs = residuals
+    batch, seq_len, _ = x.shape
+    hidden = params["w_hh"].shape[0]
+    block_b = min(BWD_BLOCK_B, max(8, hs.shape[1]))
+    padded_b = hs.shape[1]
+
+    xp = _pad_batch(x, padded_b)
+    xproj = jnp.einsum("btd,dh->tbh", xp, params["w_ih"])
+    zeros = jnp.zeros((1, padded_b, hidden), hs.dtype)
+    h_prev = jnp.concatenate([zeros, hs[:-1]])
+    c_prev = jnp.concatenate([zeros, cs[:-1]])
+    dh_out = jnp.moveaxis(_pad_batch(dout, padded_b), 0, 1)  # (T, B, H)
+
+    dxproj, dwhh_parts = _lstm_bwd_pallas(
+        params["w_hh"], xproj, h_prev, c_prev, cs, dh_out,
+        block_b=block_b, interpret=_INTERPRET_VJP)
+    d_w_hh = jnp.sum(dwhh_parts, axis=0).astype(params["w_hh"].dtype)
+    d_w_ih = jnp.einsum("btd,tbh->dh", xp, dxproj).astype(params["w_ih"].dtype)
+    dx = jnp.einsum("tbh,dh->btd", dxproj, params["w_ih"])[:batch]
+    return {"w_ih": d_w_ih, "w_hh": d_w_hh}, dx
+
+
+lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def lstm_scan_pallas(params, x, *, block_b: int = DEFAULT_BLOCK_B,
                      interpret: bool = False):

@@ -56,11 +56,17 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
 
 
 def make_train_step(spec: ModelSpec, optimizer):
+    """On TPU, LSTM recurrences run through the custom-VJP fused Pallas
+    scans (forward AND backward as reverse-time kernels)."""
+    on_tpu = jax.default_backend() == "tpu"
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, boxes, labels, mask, rng):
         def loss_fn(p):
+            from objectpermanence_tpu.ops import lstm as lstm_ops
             # deterministic=False: dropout active in training (transformer)
-            out = _forward(spec, p, boxes, False, rng)
+            with lstm_ops.fused_scan(on_tpu):
+                out = _forward(spec, p, boxes, False, rng)
             return total_loss(out, labels, mask, spec.no_labels)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
