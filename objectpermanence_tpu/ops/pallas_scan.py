@@ -361,19 +361,24 @@ def _opnet_kernel(xproj1_ref, boxes_fm_ref, w1_hh_ref, w_att_ref, w2_ih_ref,
     y_ref[0] = jnp.dot(h2, w_head_ref[:], preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "compute_dtype"))
 def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
-                        interpret: bool = False):
+                        interpret: bool = False, compute_dtype=jnp.float32):
     """Fused OPNet forward: `boxes (B, T, O, F)` ->
     `(y (B, T, 4), logits (B, O, T))`, matching `models.reasoning.opnet_apply`
-    to float tolerance."""
+    to float tolerance.
+
+    compute_dtype=jnp.bfloat16 runs the streamed activations and weights in
+    bf16 (MXU accumulation stays f32 via preferred_element_type; the cell
+    carries stay f32 in VMEM) — ~2x matmul throughput at reduced precision."""
     batch, seq_len, num_objects, feat = boxes.shape
-    w1_ih = params["att_lstm"]["w_ih"]
-    w1_hh = params["att_lstm"]["w_hh"]
-    w_att = params["att_head"]["w"]
-    w2_ih = params["video_lstm"]["w_ih"]
-    w2_hh = params["video_lstm"]["w_hh"]
-    w_head = params["box_head"]["w"]
+    w1_ih = params["att_lstm"]["w_ih"].astype(compute_dtype)
+    w1_hh = params["att_lstm"]["w_hh"].astype(compute_dtype)
+    w_att = params["att_head"]["w"].astype(compute_dtype)
+    w2_ih = params["video_lstm"]["w_ih"].astype(compute_dtype)
+    w2_hh = params["video_lstm"]["w_hh"].astype(compute_dtype)
+    w_head = params["box_head"]["w"].astype(compute_dtype)
     att_hidden = w1_hh.shape[0]
     vid_hidden = w2_hh.shape[0]
     att_out = w_att.shape[1]
@@ -384,10 +389,11 @@ def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
         boxes = jnp.pad(boxes, ((0, padded_b - batch), (0, 0), (0, 0), (0, 0)))
 
     scene = boxes.reshape(padded_b, seq_len, num_objects * feat)
-    xproj1 = jnp.einsum("btd,dh->tbh", scene, w1_ih)          # (T, B, 4H1)
+    xproj1 = jnp.einsum("btd,dh->tbh", scene, w1_ih,
+                        preferred_element_type=compute_dtype)  # (T, B, 4H1)
     # feature-major layout so the kernel selects each feature contiguously
     boxes_fm = jnp.transpose(boxes, (1, 0, 3, 2)).reshape(
-        seq_len, padded_b, feat * num_objects)
+        seq_len, padded_b, feat * num_objects).astype(compute_dtype)
 
     grid = (padded_b // block_b, seq_len)
     y, logits = pl.pallas_call(

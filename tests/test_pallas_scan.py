@@ -40,3 +40,15 @@ def test_opnet_fused_matches_reference_apply():
     np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_opnet_fused_bf16_close_to_f32():
+    spec = get_model_spec("opnet")
+    params = spec.init(jax.random.PRNGKey(3), OPNET_CFG)
+    boxes = jnp.asarray(np.random.RandomState(4).rand(4, 10, 15, 6), jnp.float32)
+    y32, _ = opnet_fused_forward(params, boxes, block_b=8, interpret=True)
+    y16, _ = opnet_fused_forward(params, boxes, block_b=8, interpret=True,
+                                 compute_dtype=jnp.bfloat16)
+    rel = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-9))
+    assert rel < 0.05
+    assert y16.dtype == jnp.float32  # outputs stay f32
