@@ -25,6 +25,14 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = len(devices) // n_model
     used = n_data * n_model
+    if len(devices) < used:
+        raise ValueError(
+            f"make_mesh needs {used} devices (n_data={n_data} x "
+            f"n_model={n_model}) but only {len(devices)} are available "
+            f"({[d.platform for d in devices]}). Provision a virtual CPU "
+            f"mesh first: set XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={used} and jax.config.update('jax_platforms', 'cpu') "
+            f"before the backend initializes.")
     grid = np.asarray(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

