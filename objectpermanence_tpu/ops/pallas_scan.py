@@ -243,14 +243,26 @@ def _fused_bwd(residuals, dout):
     params, x, hs, cs = residuals
     batch, seq_len, _ = x.shape
     hidden = params["w_hh"].shape[0]
+    # The forward pads batch to a multiple of its own (larger) block; the
+    # backward tiles with BWD_BLOCK_B, so re-pad every time-major buffer up
+    # to a multiple of block_b — a floor'd grid would silently leave rows
+    # >= block_b*nb unwritten in dxproj and drop their dW contributions.
     block_b = min(BWD_BLOCK_B, max(8, hs.shape[1]))
-    padded_b = hs.shape[1]
+    padded_b = -(-hs.shape[1] // block_b) * block_b
 
+    def pad_tm(a):  # time-major (T, B, .): pad the batch axis with zeros
+        if a.shape[1] == padded_b:
+            return a
+        return jnp.pad(a, ((0, 0), (0, padded_b - a.shape[1]), (0, 0)))
+
+    hs, cs = pad_tm(hs), pad_tm(cs)
     xp = _pad_batch(x, padded_b)
     xproj = jnp.einsum("btd,dh->tbh", xp, params["w_ih"])
     zeros = jnp.zeros((1, padded_b, hidden), hs.dtype)
     h_prev = jnp.concatenate([zeros, hs[:-1]])
     c_prev = jnp.concatenate([zeros, cs[:-1]])
+    # dout's padded rows are zero, so dgates there are exactly zero: no
+    # spurious dW_hh/dW_ih contributions from padding.
     dh_out = jnp.moveaxis(_pad_batch(dout, padded_b), 0, 1)  # (T, B, H)
 
     dxproj, dwhh_parts = _lstm_bwd_pallas(

@@ -53,6 +53,27 @@ def test_fused_gradients_match_autodiff():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_fused_gradients_batch_not_multiple_of_bwd_block():
+    # ADVICE r1 (high): forward pads batch 100 -> 100 (block 100 <= 256), but
+    # the backward tiles with BWD_BLOCK_B=64; a floor'd grid left rows >= 64
+    # unwritten and dropped their dW contributions. Exercise batch in
+    # (BWD_BLOCK_B, DEFAULT_BLOCK_B) not divisible by 64.
+    params = lstm_init(jax.random.PRNGKey(4), 12, 16)
+    x = jnp.asarray(np.random.RandomState(5).rand(100, 6, 12), jnp.float32)
+
+    def loss(fn):
+        return lambda p, xx: jnp.sum(fn(p, xx) ** 2)
+
+    ref = jax.grad(loss(lstm_apply), argnums=(0, 1))(params, x)
+    got = jax.grad(loss(ps.lstm_scan_fused), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(got[0]["w_hh"]),
+                               np.asarray(ref[0]["w_hh"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[0]["w_ih"]),
+                               np.asarray(ref[0]["w_ih"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_gradients_with_batch_padding():
     # batch 5 pads to the block size internally; grads must not leak padding
     params = lstm_init(jax.random.PRNGKey(2), 12, 16)
