@@ -156,10 +156,14 @@ def track_forward(params, kernels, x):
     delta = _conv_nchw(delta, params["regress_adjust"]["w"],
                        params["regress_adjust"]["b"])
     score = _conv_nchw(cls2, cls1_kernel)
-    # (1, 4A, s, s) -> (4, A*s*s): channel-major like the reference permute
-    s = delta.shape[-1]
-    delta = delta[0].reshape(NUM_ANCHORS, 4, s, s).transpose(1, 0, 2, 3).reshape(4, -1)
-    score = score[0].reshape(NUM_ANCHORS, 2, s, s).transpose(1, 0, 2, 3).reshape(2, -1)
+    # (1, 4A, s, s) -> (4, A*s*s). The reference flattens with
+    # `permute(1,2,3,0).view(4,-1)` (`run_SiamRPN.py:70-71`): channel
+    # c = coord*A + anchor, i.e. row r covers channels [r*A, (r+1)*A) with
+    # each channel's s*s spatial block contiguous — exactly a row-major
+    # reshape of the (4A, s, s) map to (4, A*s*s). Anchor index within a
+    # row is then a*s*s + spatial, matching generate_anchor's layout.
+    delta = delta[0].reshape(4, -1)
+    score = score[0].reshape(2, -1)
     score_fg = jax.nn.softmax(score, axis=0)[1]
     return delta, score_fg
 
@@ -236,18 +240,36 @@ def tracker_update(delta: np.ndarray, score: np.ndarray, anchors: np.ndarray,
     decoded = np.empty_like(delta)
     decoded[0] = delta[0] * anchors[:, 2] + anchors[:, 0]
     decoded[1] = delta[1] * anchors[:, 3] + anchors[:, 1]
-    decoded[2] = np.exp(delta[2]) * anchors[:, 2]
-    decoded[3] = np.exp(delta[3]) * anchors[:, 3]
+    # clip the log-size regressions so exp() and the downstream size/penalty
+    # products stay inside f32 range: candidates past exp(20)*anchor (~1e10
+    # px) are maximally penalized either way, and the clip avoids inf/nan
+    # churn with untrained weights (the reference overflows here)
+    decoded[2] = np.exp(np.minimum(delta[2], 20.0)) * anchors[:, 2]
+    decoded[3] = np.exp(np.minimum(delta[3], 20.0)) * anchors[:, 3]
 
     def change(r):
-        return np.maximum(r, 1.0 / r)
+        # r can underflow to exactly 0.0 for degenerate candidates; the
+        # clamp only affects those (result is huge either way)
+        return np.maximum(r, 1.0 / np.maximum(r, np.float32(1e-30)))
 
     def sz(w, h):
         pad = (w + h) * 0.5
         return np.sqrt((w + pad) * (h + pad))
 
-    s_c = change(sz(decoded[2], decoded[3]) / sz(target_sz_scaled[0], target_sz_scaled[1]))
-    r_c = change((target_sz_scaled[0] / target_sz_scaled[1]) / (decoded[2] / decoded[3]))
+    # Clamp decoded sizes away from zero before the ratio math: exp() of a
+    # large negative regression output underflows to 0.0 in float32 and the
+    # reference's unguarded divides emit inf/nan (and RuntimeWarnings). The
+    # clamp only moves already-degenerate candidates (their penalty -> 0
+    # either way), so normal-path numerics are bit-identical.
+    eps = np.float32(1e-12)
+    dw = np.maximum(decoded[2], eps)
+    dh = np.maximum(decoded[3], eps)
+    tw = max(target_sz_scaled[0], eps)
+    th = max(target_sz_scaled[1], eps)
+
+    s_c = change(sz(dw, dh) / sz(tw, th))
+    # (tw/th)/(dw/dh) as a product ratio: dw/dh can underflow to 0 in f32
+    r_c = change((tw * dh) / (th * dw))
     penalty = np.exp(-(r_c * s_c - 1.0) * penalty_k)
     pscore = penalty * score
     pscore = pscore * (1 - window_influence) + window * window_influence

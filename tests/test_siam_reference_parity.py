@@ -1,0 +1,135 @@
+"""Side-by-side parity: run the REFERENCE's DaSiamRPN tracker (torch,
+imported from /root/reference and executed — never copied) and our
+SiamRPNTracker with identical random weights over a synthetic sequence,
+asserting per-frame pos/sz agreement (VERDICT r1 next-round #5).
+
+The upstream SiamRPNVOT.model blob is missing from the snapshot, but the
+nets agree architecture-for-architecture, so shared random weights exercise
+every layer, the kernel correlation, and the full decode/penalty/window/
+smoothing update — a layout or BN-eps or crop-rounding slip fails this."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+import objectpermanence_tpu.models.siam as siam
+
+REF_ROOT = Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_tracker_modules():
+    if not REF_ROOT.exists():
+        pytest.skip("reference repo not mounted")
+    if str(REF_ROOT) not in sys.path:
+        sys.path.insert(0, str(REF_ROOT))
+    from baselines.DaSiamRPN.code import net as ref_net
+    from baselines.DaSiamRPN.code import run_SiamRPN as ref_run
+    return ref_net, ref_run
+
+
+def _synthetic_sequence(num_frames=20, h=240, w=320, seed=11):
+    """Textured square target drifting over a static textured background."""
+    rng = np.random.RandomState(seed)
+    background = rng.randint(0, 120, (h, w, 3), np.uint8)
+    texture = rng.randint(100, 255, (30, 30, 3), np.uint8)
+    frames, centers = [], []
+    cx, cy = 160.0, 120.0
+    for t in range(num_frames):
+        cx += 3.0 + 0.5 * np.sin(t)
+        cy += 2.0 * np.cos(t / 3.0)
+        im = background.copy()
+        x1, y1 = int(cx - 15), int(cy - 15)
+        im[y1:y1 + 30, x1:x1 + 30] = texture
+        frames.append(im)
+        centers.append((cx, cy))
+    return frames, centers
+
+
+def _tame_weights(net):
+    """Default torch init makes the correlation outputs blow past exp()'s
+    float32 range (the decode does exp(delta[2:4])), which turns both
+    trackers into NaN-clamp noise. Re-init to small magnitudes so shared
+    random weights give finite, discriminative score/regression maps."""
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0.0, 0.01)
+                if m.bias is not None:
+                    m.bias.zero_()
+        net.regress_adjust.weight.normal_(0.0, 3e-6)
+
+
+def test_tracker_matches_reference_over_sequence(ref_tracker_modules):
+    ref_net_mod, ref_run = ref_tracker_modules
+    torch.manual_seed(3)
+    net = ref_net_mod.SiamRPNvot()
+    net.eval()
+    _tame_weights(net)
+
+    params = siam.convert_torch_state_dict(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+    ours = siam.SiamRPNTracker(params)
+
+    frames, _ = _synthetic_sequence()
+    pos0, sz0 = np.array([160.0, 120.0]), np.array([30.0, 30.0])
+
+    device = torch.device("cpu")
+    with torch.no_grad():
+        ref_state = ref_run.SiamRPN_init(frames[0], pos0.copy(), sz0.copy(),
+                                         net, device)
+        our_state = ours.init(frames[0], pos0, sz0)
+        for i, im in enumerate(frames[1:], start=1):
+            ref_state = ref_run.SiamRPN_track(ref_state, im, device)
+            our_state = ours.track(our_state, im)
+            np.testing.assert_allclose(
+                our_state.pos, ref_state["target_pos"], atol=0.05,
+                err_msg=f"pos diverged at frame {i}")
+            np.testing.assert_allclose(
+                our_state.sz, ref_state["target_sz"], atol=0.05,
+                err_msg=f"sz diverged at frame {i}")
+            np.testing.assert_allclose(our_state.score, ref_state["score"],
+                                       atol=1e-3)
+
+
+def test_track_forward_decode_layout_matches_reference(ref_tracker_modules):
+    """The flatten order feeding the anchor decode: reference uses
+    permute(1,2,3,0).view(4,-1) == coord-major rows with anchor*s*s+spatial
+    columns (ADVICE r1 medium)."""
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    ref_net_mod, _ = ref_tracker_modules
+    torch.manual_seed(5)
+    net = ref_net_mod.SiamRPNvot()
+    net.eval()
+    # default init gives O(2500) correlation outputs where conv summation-
+    # order noise alone is ~3e-3 relative; tame to O(1) so a layout slip
+    # (wrong channel order => errors ~ the full value scale) is unmissable
+    _tame_weights(net)
+    with torch.no_grad():
+        net.regress_adjust.weight.normal_(0.0, 1e-4)
+    params = siam.convert_torch_state_dict(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+
+    rng = np.random.RandomState(7)
+    z = rng.rand(1, 3, 127, 127).astype(np.float32) * 255
+    x = rng.rand(1, 3, 271, 271).astype(np.float32) * 255
+
+    with torch.no_grad():
+        net.temple(torch.from_numpy(z))
+        delta_t, score_t = net(torch.from_numpy(x))
+        ref_delta = delta_t.permute(1, 2, 3, 0).contiguous().view(4, -1).numpy()
+        ref_score = F.softmax(
+            score_t.permute(1, 2, 3, 0).contiguous().view(2, -1), dim=0
+        )[1].numpy()
+
+    kernels = siam.temple(params, jnp.asarray(z))
+    our_delta, our_score = siam.track_forward(params, kernels, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(our_delta), ref_delta,
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(our_score), ref_score,
+                               rtol=1e-3, atol=1e-5)
