@@ -156,10 +156,20 @@ class CaterDetector:
     @classmethod
     def load(cls, checkpoint_path: Optional[str],
              config: Optional[DetectorConfig] = None) -> "CaterDetector":
+        """Load from an orbax checkpoint dir, or a torch `.pth`/`.pt` file
+        (raw torchvision `fasterrcnn_resnet50_fpn` state_dict or the
+        reference's `{"model_state_dict": ...}` wrapper,
+        `baselines/detector.py:55-69`) via the torchvision converter."""
         det = cls(config)
         if checkpoint_path:
-            from objectpermanence_tpu.utils.checkpoint import restore_params
-            det.params = restore_params(checkpoint_path, det.params)
+            if str(checkpoint_path).endswith((".pth", ".pt")):
+                from objectpermanence_tpu.models.detector.convert import (
+                    load_torch_checkpoint,
+                )
+                det.params = load_torch_checkpoint(checkpoint_path)
+            else:
+                from objectpermanence_tpu.utils.checkpoint import restore_params
+                det.params = restore_params(checkpoint_path, det.params)
             print(f"Loaded detector parameters from {checkpoint_path}")
         return det
 

@@ -20,7 +20,15 @@ def conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
     return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
 
 
-def conv2d(x, w, stride=1, padding="SAME"):
+def conv2d(x, w, stride=1, padding=None):
+    """Conv with torch-style symmetric k//2 padding by default. NOTE: not
+    XLA "SAME" — for stride>1 SAME pads asymmetrically ((0,1) for k=3),
+    shifting outputs by one pixel vs torch's padding=1; symmetric padding
+    is required for converted torchvision weights to be numerically
+    faithful. For stride=1 the two are identical."""
+    if padding is None:
+        kh, kw = w.shape[0], w.shape[1]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -130,8 +138,11 @@ def resnet_apply(params, x, norm: str = "frozen") -> List[jax.Array]:
     """x: (B, H, W, 3) -> [C2, C3, C4, C5] feature maps (strides 4..32)."""
     x = conv2d(x, params["stem_conv"], stride=2)
     x = jax.nn.relu(apply_norm(params["stem_bn"], x, norm))
+    # torch MaxPool2d(3, stride=2, padding=1): symmetric (1,1) padding, not
+    # XLA SAME (which pads (0,1) at stride 2 and shifts the grid)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), "SAME")
+                              (1, 2, 2, 1),
+                              ((0, 0), (1, 1), (1, 1), (0, 0)))
     features = []
     for stage, stage_params in enumerate(params["stages"]):
         for b, block in enumerate(stage_params):
