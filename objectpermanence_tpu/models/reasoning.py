@@ -164,6 +164,18 @@ def transformer_lstm_init(key, config: Dict[str, int], dtype=jnp.float32) -> Par
 
 def transformer_lstm_apply(params: Params, boxes: jax.Array, *, precision=None,
                            deterministic: bool = True, rng=None) -> jax.Array:
+    """DELIBERATE DEVIATION from the reference: we run per-frame 15-token
+    self-attention (objects attend to objects within their frame), which is
+    what the reference's comments describe (`learned_models.py:181-184`).
+    The reference's code, however, feeds `(batch*frames, objects, dim)`
+    into a default (batch_first=False) `nn.TransformerEncoder`
+    (`learned_models.py:167,185`), so its attention actually runs ACROSS
+    the batch*frames axis per object slot — outputs depend on which other
+    videos share the batch. We treat that as a reference bug (like the
+    `opent_no_labels` typo) and implement the intended semantics;
+    consequence: reference-trained transformer_lstm checkpoints will not
+    reproduce bit-for-bit here. Parity is tested against a torch model
+    with batch_first=True (tests/test_model_parity.py)."""
     batch, frames, objects, feat = boxes.shape
     feats = jax.nn.relu(linear_apply(params["box_proj"], boxes, precision=precision))
     tokens = feats.reshape(batch * frames, objects, -1)

@@ -7,6 +7,13 @@ attention: sequences of 15 tokens, batched over batch*300 frames, so the
 whole thing is a handful of MXU matmuls — no flash/blockwise machinery
 needed. The implementation below is parameter-compatible with
 `torch.nn.TransformerEncoderLayer` for float-tolerance parity tests.
+
+NOTE (deliberate deviation): the reference's code actually feeds
+`(batch*frames, objects, dim)` into a batch_first=False encoder, so its
+attention runs across the batch*frames axis per object slot — a reference
+bug making outputs depend on batch composition. We implement the
+per-frame attention its comments describe; see
+`models/reasoning.py:transformer_lstm_apply`.
 """
 
 import jax

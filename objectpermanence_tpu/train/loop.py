@@ -61,13 +61,16 @@ def make_train_step(spec: ModelSpec, optimizer):
     on_tpu = jax.default_backend() == "tpu"
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, boxes, labels, mask, rng):
+    def train_step(params, opt_state, boxes, labels, mask, rng, weights=None):
         def loss_fn(p):
             from objectpermanence_tpu.ops import lstm as lstm_ops
             # deterministic=False: dropout active in training (transformer)
             with lstm_ops.fused_scan(on_tpu):
                 out = _forward(spec, p, boxes, False, rng)
-            return total_loss(out, labels, mask, spec.no_labels)
+            # weights: (B,) 0/1 vector zeroing the repeated-row padding of
+            # the ragged final batch so duplicates carry no gradient
+            return total_loss(out, labels, mask, spec.no_labels,
+                              sample_weight=weights)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -242,13 +245,15 @@ def training_main(spec: ModelSpec, train_dataset: IngestedDataset,
         running = {"loss": 0.0, "pred_loss": 0.0, "consistency_loss": 0.0}
         pending = []  # async metric pulls — don't block the device per batch
 
-        for batch_idx, (indices, _real) in enumerate(
+        for batch_idx, (indices, real) in enumerate(
                 train_data.batch_indices(batch_size, shuffle=True,
                                          seed=seed + epoch), 1):
             boxes, labels, mask = train_data.batch(indices)
+            weights = jnp.asarray(
+                (np.arange(batch_size) < real).astype(np.float32))
             rng, step_rng = jax.random.split(rng)
             params, opt_state, metrics = train_step(
-                params, opt_state, boxes, labels, mask, step_rng)
+                params, opt_state, boxes, labels, mask, step_rng, weights)
             pending.append(metrics)
 
             if batch_idx % cfg.print_step == 0:

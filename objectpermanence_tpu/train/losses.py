@@ -17,30 +17,50 @@ import jax.numpy as jnp
 CONSISTENCY_RATE = 0.5
 
 
+def _weighted_mean(loss: jnp.ndarray, sample_weight: jnp.ndarray) -> jnp.ndarray:
+    """Mean with per-sample (leading-axis) weights, normalized so that
+    all-ones weights reproduce jnp.mean exactly. Used to zero out the
+    repeated-row padding of the final batch (the reference's DataLoader
+    just yields a smaller final batch; our jit shapes are static, so the
+    padding must be masked out of the gradient instead)."""
+    w = sample_weight.reshape((-1,) + (1,) * (loss.ndim - 1))
+    denom = jnp.maximum(jnp.mean(sample_weight), 1e-12)
+    return jnp.mean(loss * w) / denom
+
+
 def l1_pred_loss(output: jnp.ndarray, labels: jnp.ndarray,
-                 mask: jnp.ndarray = None) -> jnp.ndarray:
+                 mask: jnp.ndarray = None,
+                 sample_weight: jnp.ndarray = None) -> jnp.ndarray:
     loss = jnp.abs(output - labels)
     if mask is not None:
         loss = loss * mask
+    if sample_weight is not None:
+        return _weighted_mean(loss, sample_weight)
     return jnp.mean(loss)
 
 
-def consistency_loss(output: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def consistency_loss(output: jnp.ndarray, eps: float = 1e-12,
+                     sample_weight: jnp.ndarray = None) -> jnp.ndarray:
     """Mean L2 norm of adjacent-frame deltas. The plain norm has a NaN
     gradient at exactly-zero deltas (d/dx sqrt(x) at 0), which real runs hit
     once the model emits identical adjacent boxes — the eps inside the sqrt
     keeps the gradient finite while changing the value by < 1e-6."""
     deltas = output[:, 1:, :] - output[:, :-1, :]
-    return jnp.mean(jnp.sqrt(jnp.sum(deltas * deltas, axis=-1) + eps))
+    norms = jnp.sqrt(jnp.sum(deltas * deltas, axis=-1) + eps)
+    if sample_weight is not None:
+        return _weighted_mean(norms, sample_weight)
+    return jnp.mean(norms)
 
 
 def total_loss(output: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
-               no_labels: bool) -> Tuple[jnp.ndarray, dict]:
-    cons = consistency_loss(output)
+               no_labels: bool,
+               sample_weight: jnp.ndarray = None) -> Tuple[jnp.ndarray, dict]:
+    cons = consistency_loss(output, sample_weight=sample_weight)
     if no_labels:
-        pred = l1_pred_loss(output, labels, mask.astype(output.dtype))
+        pred = l1_pred_loss(output, labels, mask.astype(output.dtype),
+                            sample_weight=sample_weight)
         loss = pred + CONSISTENCY_RATE * cons
     else:
-        pred = l1_pred_loss(output, labels)
+        pred = l1_pred_loss(output, labels, sample_weight=sample_weight)
         loss = pred
     return loss, {"loss": loss, "pred_loss": pred, "consistency_loss": cons}

@@ -43,3 +43,35 @@ def test_consistency_gradient_finite_at_zero_deltas():
     out = jnp.ones((2, 5, 4))  # identical adjacent frames
     grad = jax.grad(lambda o: losses.consistency_loss(o))(out)
     assert bool(jnp.isfinite(grad).all())
+
+
+def test_sample_weight_masks_final_batch_padding():
+    """ADVICE r1 (low): padded (repeated) rows of the ragged final batch
+    must carry zero gradient — the weighted loss over the padded batch must
+    equal the plain loss over only the real rows."""
+    rng = np.random.RandomState(0)
+    real = 3
+    out_real = rng.rand(real, 6, 4).astype(np.float32)
+    labels_real = rng.rand(real, 6, 4).astype(np.float32)
+    # pad by repeating the last row (DeviceDataset.batch_indices behavior)
+    out = np.concatenate([out_real, np.repeat(out_real[-1:], 5 - real, 0)])
+    labels = np.concatenate(
+        [labels_real, np.repeat(labels_real[-1:], 5 - real, 0)])
+    mask = np.zeros_like(labels, dtype=bool)
+    weights = (np.arange(5) < real).astype(np.float32)
+
+    loss_ref, _ = losses.total_loss(jnp.asarray(out_real),
+                                    jnp.asarray(labels_real),
+                                    jnp.asarray(mask[:real]), no_labels=False)
+    loss_w, _ = losses.total_loss(jnp.asarray(out), jnp.asarray(labels),
+                                  jnp.asarray(mask), no_labels=False,
+                                  sample_weight=jnp.asarray(weights))
+    np.testing.assert_allclose(float(loss_w), float(loss_ref), rtol=1e-6)
+
+    # all-ones weights reproduce the unweighted loss bit-for-bit
+    loss_plain, _ = losses.total_loss(jnp.asarray(out), jnp.asarray(labels),
+                                      jnp.asarray(mask), no_labels=False)
+    loss_ones, _ = losses.total_loss(jnp.asarray(out), jnp.asarray(labels),
+                                     jnp.asarray(mask), no_labels=False,
+                                     sample_weight=jnp.ones(5, jnp.float32))
+    np.testing.assert_allclose(float(loss_ones), float(loss_plain), rtol=1e-7)

@@ -108,6 +108,11 @@ class TorchNonLinearLstm(nn.Module):
 
 
 class TorchTransformerLstm(nn.Module):
+    # batch_first=True is INTENTIONAL and differs from the reference, whose
+    # batch_first=False encoder accidentally attends across the batch*frames
+    # axis per object slot (`learned_models.py:167,185`); we implement the
+    # per-frame attention its comments describe — see the deviation note in
+    # models/reasoning.py:transformer_lstm_apply.
     def __init__(self, cfg):
         super().__init__()
         d = cfg["boxes_features_dim"]
