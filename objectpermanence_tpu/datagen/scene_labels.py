@@ -16,7 +16,17 @@ from objectpermanence_tpu.vocab import OBJECTS_NAME_TO_IDX
 
 SNITCH_INSTANCE = "Spl_0"
 SNITCH_LABEL = 140
-LAST_FRAME = 299  # zero-based index of the final frame
+LAST_FRAME = 299  # zero-based index of the final frame (300-frame default)
+
+
+def scene_last_frame(scene: dict) -> int:
+    """Zero-based final frame of a scene json. The reference hardcodes 300
+    frames; simulated test scenes can be shorter, so derive from the
+    per-object locations when present."""
+    objects = scene.get("objects") or []
+    if objects and "locations" in objects[0]:
+        return len(objects[0]["locations"]) - 1
+    return LAST_FRAME
 
 
 def object_class_name(instance: str, scene: dict) -> str:
@@ -52,7 +62,8 @@ def containment_events(scene: dict, contained_instance: str = SNITCH_INSTANCE
                 continue
             start = actions[idx][3]
             later_pick = [j for j in range(idx, len(actions)) if pick_place[j]]
-            end = actions[later_pick[0]][2] if later_pick else LAST_FRAME
+            end = (actions[later_pick[0]][2] if later_pick
+                   else scene_last_frame(scene))
             events.append((obj_name, start, end))
     return events
 
@@ -81,7 +92,8 @@ def snitch_containment_with_move_frames(scene: dict) -> List[int]:
             if not later_slides:
                 continue
             later_picks = [j for j in range(idx, len(actions)) if pick_place[j]]
-            end = actions[later_picks[0]][2] if later_picks else LAST_FRAME
+            end = (actions[later_picks[0]][2] if later_picks
+                   else scene_last_frame(scene))
             for j in later_slides:
                 slide_start, slide_end = actions[j][2], actions[j][3]
                 if slide_end <= end:
@@ -101,7 +113,7 @@ def tracked_object_labels(scene: dict, class_names: Dict[str, int] = None
     one level of nested ("babushka") containment deep
     (reference `gen_video_labels.py:202-215`). Returns (labels (300,),
     babushka_frame_count)."""
-    labels = np.full(LAST_FRAME + 1, SNITCH_LABEL, dtype=int)
+    labels = np.full(scene_last_frame(scene) + 1, SNITCH_LABEL, dtype=int)
     babushka_count = 0
 
     snitch_events = containment_events(scene)

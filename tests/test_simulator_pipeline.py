@@ -35,8 +35,9 @@ def test_simulator_schema(simulated):
     assert snitch["instance"] == "Spl_0"
     assert len(snitch["locations"]) == NUM_FRAMES
     # a cone containment exists with the (_contain, Spl_0) tuple shape
-    cone_moves = scene["movements"]["Cone_1"]
-    assert any(m[0] == "_contain" and m[1] == "Spl_0" for m in cone_moves)
+    # (simulate_dataset re-rolls until the random plan contains the snitch)
+    all_moves = [m for mv in scene["movements"].values() for m in mv]
+    assert any(m[0] == "_contain" and m[1] == "Spl_0" for m in all_moves)
 
     gt = json.loads((labels_dir / (scenes[0].stem + "_bb.json")).read_text())
     assert "small_gold_spl_metal_Spl_0" in gt
