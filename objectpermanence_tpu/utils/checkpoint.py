@@ -63,6 +63,28 @@ def restore_train_state(path, like_params, like_opt_state):
     return state["params"], state["opt_state"], metadata
 
 
+def best_params_checkpoint(checkpoint_dir) -> Optional[Path]:
+    """Best-dev params checkpoint under `checkpoint_dir`: directories named
+    `<stamp>_<dev_miou>` by the training loop; picks the highest mIoU
+    (ties broken by recency), skipping the `resume/` tree."""
+    checkpoint_dir = _as_abs(checkpoint_dir)
+    if not checkpoint_dir.exists():
+        return None
+
+    def score(p: Path) -> Optional[float]:
+        try:
+            return float(p.name.rsplit("_", 1)[1])
+        except (IndexError, ValueError):
+            return None
+
+    candidates = [(score(p), p.stat().st_mtime, p)
+                  for p in checkpoint_dir.iterdir()
+                  if p.is_dir() and p.name != "resume" and score(p) is not None]
+    if not candidates:
+        return None
+    return max(candidates)[2]
+
+
 def latest_checkpoint(checkpoint_dir) -> Optional[Path]:
     """Most recent resumable checkpoint under `checkpoint_dir`, if any."""
     checkpoint_dir = _as_abs(checkpoint_dir)
