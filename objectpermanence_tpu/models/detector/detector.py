@@ -26,6 +26,14 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def cast_floating(tree, dtype):
+    """Cast floating-point leaves of a pytree to `dtype` (mixed-precision
+    compute; integer leaves untouched)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
 @dataclass(frozen=True)
 class DetectorConfig:
     num_classes: int = 193            # includes background slot 0 (see note
@@ -45,6 +53,11 @@ class DetectorConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_img: int = 100
+    # MXU-friendly mixed precision: "bfloat16" runs backbone/FPN/heads in
+    # bf16 while box decode, NMS, and losses stay float32. The reference's
+    # CUDA recipe is fp32-only (`object_detection/training.py`); bf16 is the
+    # TPU-native speed path (params remain fp32 masters).
+    compute_dtype: str = "float32"
 
     @property
     def scale(self) -> float:
@@ -98,7 +111,13 @@ def preprocess_images(images: jax.Array, config: DetectorConfig) -> jax.Array:
 
 
 def forward_features(params, images_prepped, config: DetectorConfig):
-    """Backbone + FPN over preprocessed images -> [P2..P6] (NHWC)."""
+    """Backbone + FPN over preprocessed images -> [P2..P6] (NHWC), in
+    `config.compute_dtype` (bf16 pyramid under mixed precision)."""
+    dtype = jnp.dtype(config.compute_dtype)
+    if dtype != jnp.float32:
+        params = cast_floating({"backbone": params["backbone"],
+                                "fpn": params["fpn"]}, dtype)
+        images_prepped = images_prepped.astype(dtype)
     backbone_feats = resnet.resnet_apply(params["backbone"], images_prepped,
                                          norm=config.backbone_norm)
     return fpn.fpn_apply(params["fpn"], backbone_feats)

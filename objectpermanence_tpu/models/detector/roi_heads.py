@@ -29,8 +29,12 @@ def multiscale_roi_align(features: List[jax.Array], rois: jax.Array,
     Each roi is pooled from its assigned level only, via a single gather
     from the concatenated level table (`ops.roi_align.multilevel_roi_align`)."""
     levels = assign_levels(rois)
-    return multilevel_roi_align(features, rois, levels, ROI_STRIDES,
-                                pooled, sampling_ratio)
+    pooled_feats = multilevel_roi_align(features, rois, levels, ROI_STRIDES,
+                                        pooled, sampling_ratio)
+    # interpolation weights are fp32 (promoting the output); return to the
+    # pyramid's compute dtype so the box-head matmuls stay on the bf16 MXU
+    # path under mixed precision
+    return pooled_feats.astype(features[0].dtype)
 
 
 def box_head_init(key, in_channels: int = 256, pooled: int = 7,
@@ -61,13 +65,17 @@ def box_head_init(key, in_channels: int = 256, pooled: int = 7,
 
 
 def box_head_apply(params, roi_features: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """roi_features (N, C, p, p) -> (cls_logits (N, K), box_deltas (N, K, 4))."""
+    """roi_features (N, C, p, p) -> (cls_logits (N, K), box_deltas (N, K, 4)).
+    Runs in the features' dtype (bf16 under mixed precision) but emits
+    float32 logits/deltas for decode and loss math."""
+    from objectpermanence_tpu.models.detector.detector import cast_floating
+    params = cast_floating(params, roi_features.dtype)
     n = roi_features.shape[0]
     x = roi_features.reshape(n, -1)
     x = jax.nn.relu(x @ params["fc6"]["w"] + params["fc6"]["b"])
     x = jax.nn.relu(x @ params["fc7"]["w"] + params["fc7"]["b"])
-    cls_logits = x @ params["cls"]["w"] + params["cls"]["b"]
-    box_deltas = x @ params["reg"]["w"] + params["reg"]["b"]
+    cls_logits = (x @ params["cls"]["w"] + params["cls"]["b"]).astype(jnp.float32)
+    box_deltas = (x @ params["reg"]["w"] + params["reg"]["b"]).astype(jnp.float32)
     return cls_logits, box_deltas.reshape(n, -1, 4)
 
 

@@ -31,15 +31,19 @@ def rpn_head_init(key, in_channels: int = 256, num_anchors: int = 3,
 
 
 def rpn_head_apply(params, features: List[jax.Array]) -> Tuple[List[jax.Array], List[jax.Array]]:
-    """Per level: objectness (B, H*W*A) and deltas (B, H*W*A, 4)."""
+    """Per level: objectness (B, H*W*A) and deltas (B, H*W*A, 4).
+    Runs in the features' dtype (bf16 under mixed precision) but emits
+    float32 predictions — box decode / score math stays full precision."""
+    from objectpermanence_tpu.models.detector.detector import cast_floating
+    params = cast_floating(params, features[0].dtype)
     objectness, deltas = [], []
     for feat in features:
         t = jax.nn.relu(conv2d(feat, params["conv"]) + params["conv_b"])
         cls = conv2d(t, params["cls"]) + params["cls_b"]        # (B, H, W, A)
         reg = conv2d(t, params["reg"]) + params["reg_b"]        # (B, H, W, A*4)
         b, h, w, a = cls.shape
-        objectness.append(cls.reshape(b, h * w * a))
-        deltas.append(reg.reshape(b, h * w * a, 4))
+        objectness.append(cls.reshape(b, h * w * a).astype(jnp.float32))
+        deltas.append(reg.reshape(b, h * w * a, 4).astype(jnp.float32))
     return objectness, deltas
 
 

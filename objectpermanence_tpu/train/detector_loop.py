@@ -59,8 +59,21 @@ def train_detector(train_dataset: DetectionDataset,
                    learning_rate: float = 5e-3, momentum: float = 0.9,
                    weight_decay: float = 5e-4, warmup_iters: int = 1000,
                    checkpoint_dir: str = "./checkpoints/detector",
-                   print_step: int = 50, seed: int = 0) -> Dict:
+                   print_step: int = 50, seed: int = 0, mesh=None) -> Dict:
+    """With `mesh`, image batches are sharded over the mesh's data axis
+    (reference `object_detection/training.py` is single-GPU; here XLA
+    derives the gradient all-reduce from the input shardings). The batch
+    size is rounded up to a multiple of the data axis."""
+    from objectpermanence_tpu.parallel.mesh import (
+        batch_sharding, replicate, shard_batch,
+    )
+    if mesh is not None:
+        data_par = mesh.shape["data"]
+        batch_size = -(-batch_size // data_par) * data_par
+
     params = detector_init(jax.random.PRNGKey(seed), config)
+    if mesh is not None:
+        params = jax.device_put(params, replicate(mesh))
     anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
         config.feature_shapes(), config.strides, config.anchor_sizes)]
 
@@ -86,10 +99,14 @@ def train_detector(train_dataset: DetectionDataset,
         for it, batch in enumerate(train_dataset.batches(
                 batch_size, shuffle=True, seed=seed + epoch)):
             rng, sub = jax.random.split(rng)
+            arrays = {k: batch[k] for k in ("images", "gt_boxes", "gt_labels",
+                                            "gt_valid")}
+            if mesh is not None:
+                arrays = shard_batch(arrays, mesh)
             params, opt_state, parts = train_step(
-                params, opt_state, jnp.asarray(batch["images"]),
-                jnp.asarray(batch["gt_boxes"]), jnp.asarray(batch["gt_labels"]),
-                jnp.asarray(batch["gt_valid"]), sub)
+                params, opt_state, jnp.asarray(arrays["images"]),
+                jnp.asarray(arrays["gt_boxes"]), jnp.asarray(arrays["gt_labels"]),
+                jnp.asarray(arrays["gt_valid"]), sub)
             loss = float(parts["loss"])
             if not np.isfinite(loss):
                 raise RuntimeError(f"Loss is {loss}, stopping training "

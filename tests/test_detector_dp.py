@@ -51,3 +51,38 @@ def test_detector_train_step_data_parallel():
     # params remain replicated (gradients were all-reduced across the mesh)
     w = params["box_head"]["cls"]["w"]
     assert w.sharding.is_fully_replicated
+
+
+def test_train_detector_loop_data_parallel(tmp_path):
+    """Full driver loop with batches sharded over the virtual 8-device mesh
+    (reference recipe is single-GPU, `object_detection/training.py:30`)."""
+    import csv
+    from PIL import Image
+    from objectpermanence_tpu.data.detection_dataset import DetectionDataset
+    from objectpermanence_tpu.train.detector_loop import train_detector
+
+    rng = np.random.RandomState(7)
+    images_dir = tmp_path / "imgs"
+    images_dir.mkdir()
+    rows = []
+    for i in range(10):
+        img = np.zeros((64, 96, 3), np.uint8)
+        x, y = rng.randint(5, 60), rng.randint(5, 30)
+        img[y:y + 20, x:x + 20] = [255, 220, 0]
+        rows.append([f"img_{i}.png", "small_gold_spl_metal", x, y, 20, 20])
+        Image.fromarray(img).save(images_dir / f"img_{i}.png")
+    csv_path = tmp_path / "ann.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["filename", "object_class", "X", "Y", "width", "height"])
+        w.writerows(rows)
+    ds = DetectionDataset(images_dir, csv_path)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    result = train_detector(
+        ds, None, TINY, num_epochs=1, batch_size=5,  # rounds up to 8
+        learning_rate=1e-3, warmup_iters=2,
+        checkpoint_dir=str(tmp_path / "ckpt"), print_step=100, mesh=mesh)
+    assert np.isfinite(result["history"][0]["train_loss"])
+    w = result["params"]["box_head"]["cls"]["w"]
+    assert w.sharding.is_fully_replicated
