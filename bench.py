@@ -17,7 +17,10 @@ own — SURVEY §6).
 """
 
 import json
+import os
+import sys
 import time
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -34,19 +37,54 @@ WARMUP_ITERS = 2
 MEASURE_ITERS = 10
 PIPELINE_DEPTH = 2
 
+# real served data: an ingest cache + trained checkpoint from a scaled run
+# (scripts/containment_run.py); falls back to synthetic tensors of identical
+# shape when absent (shapes are static — throughput is data-independent)
+BENCH_DATA = Path(os.environ.get("BENCH_DATA", "/root/data/sim2k"))
+
+
+def _load_real(spec, init_params):
+    """(params, boxes (BATCH_VIDEOS, NUM_FRAMES, 15, 6)) from the newest
+    ingest cache + best trained checkpoint under BENCH_DATA, or None."""
+    try:
+        from objectpermanence_tpu.utils.checkpoint import (
+            best_params_checkpoint, restore_params,
+        )
+        best = best_params_checkpoint(BENCH_DATA / "checkpoints" / "opnet")
+        caches = sorted((BENCH_DATA / "cache").glob("ingest_*.npz"),
+                        key=lambda p: p.stat().st_size, reverse=True)
+        if best is None or not caches:
+            return None
+        boxes = np.load(caches[0])["boxes"].astype(np.float32)
+        if boxes.shape[1] < NUM_FRAMES or boxes.shape[2:] != (15, 6):
+            return None
+        reps = -(-BATCH_VIDEOS // boxes.shape[0])
+        boxes = np.tile(boxes[:, :NUM_FRAMES], (reps, 1, 1, 1))[:BATCH_VIDEOS]
+        params = restore_params(best, init_params)
+        print(f"bench data: {caches[0].name} + {best.name} "
+              f"({boxes.shape[0]} videos)", file=sys.stderr)
+        return params, boxes
+    except Exception as exc:  # pragma: no cover - best-effort real-data path
+        print(f"bench data: falling back to synthetic ({exc})", file=sys.stderr)
+        return None
+
 
 def main() -> None:
     spec = get_model_spec("opnet")
     params = spec.init(jax.random.PRNGKey(0), OPNET_CONFIG)
     predict_step = make_predict_step(spec)
 
-    rng = np.random.RandomState(0)
+    real = _load_real(spec, params)
+    if real is not None:
+        params, real_boxes = real
+    else:
+        real_boxes = np.random.RandomState(0).rand(
+            BATCH_VIDEOS, NUM_FRAMES, 15, 6).astype(np.float32)
+
     # the ingested dataset, resident in HBM (one-time cost, amortized over
     # epochs/requests exactly as in infer/reasoning.py + data/ingest.py)
-    device_batches = [
-        jax.device_put(rng.rand(BATCH_VIDEOS, NUM_FRAMES, 15, 6).astype(np.float32))
-        for _ in range(2)
-    ]
+    device_batches = [jax.device_put(real_boxes),
+                      jax.device_put(np.roll(real_boxes, 1, axis=0))]
 
     def run(i):
         return predict_step(params, device_batches[i % 2])

@@ -1,0 +1,154 @@
+"""OTB-style programmed-baseline benchmark on rendered fixtures.
+
+Produces the comparison the reference's DaSiamRPN results culture implies
+(`baselines/DaSiamRPN/README.md`): OPE success AUC / precision@20px for
+the two programmed reasoners (`detector_heuristic`, `detector_tracker`)
+driven through the real inference CLI path over rendered pixel videos +
+perfect-perception detections, plus the raw SiamRPN tracker scored by the
+OTB harness (`analysis/tracker_eval.py`) on the same sequences.
+
+    python scripts/tracker_benchmark.py [--videos 12] [--weights w.pth]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_fixture_set(root: Path, num_videos: int, frames: int) -> dict:
+    from objectpermanence_tpu.datagen.perfect_perception import (
+        PerfectPerceptionGenerator,
+    )
+    from objectpermanence_tpu.datagen.renderer import render_dataset
+    from objectpermanence_tpu.datagen.simulator import simulate_dataset
+
+    scenes_dir, labels_dir = simulate_dataset(
+        root, num_videos=num_videos, seed=77, num_frames=frames,
+        num_objects=6, snitch_bias=0.5)
+    videos_dir, _, _ = render_dataset(scenes_dir, labels_dir, root,
+                                      detection_samples_per_video=1)
+    gen = PerfectPerceptionGenerator(scenes_dir, labels_dir,
+                                     root / "od_perception",
+                                     visible_ratio=0.99, mode="visible_only")
+    gen.generate()
+    return {"scenes": scenes_dir, "labels": labels_dir, "videos": videos_dir,
+            "perception": root / "od_perception"}
+
+
+def reasoner_ope(root: Path, dirs: dict, model_type: str,
+                 weights: str) -> dict:
+    """Drive the real inference path for one programmed reasoner and score
+    its snitch predictions with the OTB OPE metrics."""
+    from objectpermanence_tpu.analysis.analyzer import parse_gt_bb_json
+    from objectpermanence_tpu.analysis.tracker_eval import ope_metrics
+    from objectpermanence_tpu.infer.trackers import trackers_inference_main
+
+    config = {"sample_dir": str(dirs["perception"]),
+              "labels_dir": str(dirs["labels"]),
+              "videos_dir": str(dirs["videos"]),
+              "model_path": weights}
+    t0 = time.time()
+    predictions = trackers_inference_main(model_type,
+                                          str(root / f"results_{model_type}"),
+                                          config)
+    elapsed = time.time() - t0
+    per_video = []
+    for name, pred in predictions.items():
+        gt = parse_gt_bb_json(dirs["labels"] / f"{name}_bb.json")
+        pred = np.asarray(pred, np.float64)
+        gt = np.asarray(gt, np.float64)[:len(pred)]
+        # xyxy -> xywh for the OTB metrics
+        pred_xywh = np.stack([pred[:, 0], pred[:, 1], pred[:, 2] - pred[:, 0],
+                              pred[:, 3] - pred[:, 1]], axis=1)
+        gt_xywh = np.stack([gt[:, 0], gt[:, 1], gt[:, 2] - gt[:, 0],
+                            gt[:, 3] - gt[:, 1]], axis=1)
+        per_video.append(ope_metrics(gt_xywh, pred_xywh))
+    out = {k: float(np.mean([m[k] for m in per_video])) for k in per_video[0]}
+    out["seconds"] = round(elapsed, 1)
+    return out
+
+
+def raw_siam_ope(dirs: dict, weights: str) -> dict:
+    """Score the bare SiamRPN tracker (no detector assist) with the OTB
+    harness: init on the snitch's frame-0 GT box, track through the video."""
+    import cv2
+
+    from objectpermanence_tpu.analysis.analyzer import parse_gt_bb_json
+    from objectpermanence_tpu.analysis.tracker_eval import evaluate_tracker
+    from objectpermanence_tpu.models.siam import (
+        SiamRPNTracker, convert_torch_state_dict,
+    )
+
+    sequences = []
+    for video_path in sorted(dirs["videos"].glob("*.avi")):
+        cap = cv2.VideoCapture(str(video_path))
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        cap.release()
+        gt = np.asarray(parse_gt_bb_json(
+            dirs["labels"] / f"{video_path.stem}_bb.json"), np.float64)
+        frames = frames[:len(gt)]  # drop the renderer's spare trailing frame
+        gt = gt[:len(frames)]
+        gt_xywh = np.stack([gt[:, 0], gt[:, 1], gt[:, 2] - gt[:, 0],
+                            gt[:, 3] - gt[:, 1]], axis=1)
+        sequences.append({"frames": frames, "gt": gt_xywh})
+
+    params = None
+    if weights:
+        import torch
+        sd = torch.load(weights, map_location="cpu")
+        params = convert_torch_state_dict({k: v.numpy() for k, v in sd.items()})
+    tracker = SiamRPNTracker(params)
+    result = evaluate_tracker(tracker, sequences)
+    result.pop("per_sequence", None)
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", type=Path, default=Path("/root/data/trackbench"))
+    ap.add_argument("--videos", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--weights", type=str, default="",
+                    help="SiamRPN torch weights (.pth); random init if empty")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the chip alone)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    args.root.mkdir(parents=True, exist_ok=True)
+    print("[bench] building rendered fixture set...", flush=True)
+    dirs = build_fixture_set(args.root, args.videos, args.frames)
+
+    results = {}
+    for model_type in ("detector_heuristic", "detector_tracker"):
+        print(f"[bench] {model_type}...", flush=True)
+        results[model_type] = reasoner_ope(args.root, dirs, model_type,
+                                           args.weights)
+    print("[bench] raw siamrpn (OTB harness)...", flush=True)
+    results["siamrpn_raw"] = raw_siam_ope(dirs, args.weights)
+
+    print(f"{'model':24s} {'success AUC':>12s} {'prec@20px':>10s} "
+          f"{'mean IoU':>9s}")
+    for name, m in results.items():
+        print(f"{name:24s} {m['success_auc']:12.3f} "
+              f"{m['precision_20px']:10.3f} {m['mean_iou']:9.3f}")
+    (args.root / "results.json").write_text(json.dumps(results, indent=2))
+    print(f"[bench] wrote {args.root / 'results.json'}")
+
+
+if __name__ == "__main__":
+    main()
