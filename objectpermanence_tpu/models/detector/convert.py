@@ -158,6 +158,68 @@ def convert_torchvision_state_dict(state_dict: Mapping[str, object],
     return params
 
 
+def export_torchvision_state_dict(params: Dict,
+                                  layers=RESNET50_LAYERS) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_torchvision_state_dict`: detector pytree ->
+    torchvision<=0.5-named state_dict (numpy values, torch-layout). Lets a
+    JAX-trained detector be saved as the reference's checkpoint format
+    (`baselines/detector.py:55-69` can load it after `torch.save`) and makes
+    the converter testable as a bijection."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(name, w):
+        sd[name] = np.asarray(w).transpose(3, 2, 0, 1)   # HWIO -> OIHW
+
+    def put_vec(name, v):
+        sd[name] = np.asarray(v)
+
+    def put_bn(prefix, bn):
+        put_vec(f"{prefix}.weight", bn["scale"])
+        put_vec(f"{prefix}.bias", bn["bias"])
+        put_vec(f"{prefix}.running_mean", bn["mean"])
+        put_vec(f"{prefix}.running_var", bn["var"])
+
+    def put_linear(name, lin):
+        sd[f"{name}.weight"] = np.asarray(lin["w"]).T    # (in,out) -> (out,in)
+        put_vec(f"{name}.bias", lin["b"])
+
+    backbone = params["backbone"]
+    put_conv("backbone.body.conv1.weight", backbone["stem_conv"])
+    put_bn("backbone.body.bn1", backbone["stem_bn"])
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            p = f"backbone.body.layer{stage + 1}.{b}"
+            block = backbone["stages"][stage][b]
+            for i in (1, 2, 3):
+                put_conv(f"{p}.conv{i}.weight", block[f"conv{i}"])
+                put_bn(f"{p}.bn{i}", block[f"bn{i}"])
+            if "downsample" in block:
+                put_conv(f"{p}.downsample.0.weight", block["downsample"]["conv"])
+                put_bn(f"{p}.downsample.1", block["downsample"]["bn"])
+
+    fpn = params["fpn"]
+    for i in range(len(layers)):
+        put_conv(f"backbone.fpn.inner_blocks.{i}.weight", fpn["lateral"][i])
+        put_vec(f"backbone.fpn.inner_blocks.{i}.bias", fpn["lateral_b"][i])
+        put_conv(f"backbone.fpn.layer_blocks.{i}.weight", fpn["output"][i])
+        put_vec(f"backbone.fpn.layer_blocks.{i}.bias", fpn["output_b"][i])
+
+    rpn = params["rpn"]
+    put_conv("rpn.head.conv.weight", rpn["conv"])
+    put_vec("rpn.head.conv.bias", rpn["conv_b"])
+    put_conv("rpn.head.cls_logits.weight", rpn["cls"])
+    put_vec("rpn.head.cls_logits.bias", rpn["cls_b"])
+    put_conv("rpn.head.bbox_pred.weight", rpn["reg"])
+    put_vec("rpn.head.bbox_pred.bias", rpn["reg_b"])
+
+    box_head = params["box_head"]
+    put_linear("roi_heads.box_head.fc6", box_head["fc6"])
+    put_linear("roi_heads.box_head.fc7", box_head["fc7"])
+    put_linear("roi_heads.box_predictor.cls_score", box_head["cls"])
+    put_linear("roi_heads.box_predictor.bbox_pred", box_head["reg"])
+    return sd
+
+
 def load_torch_checkpoint(path: str, strict: bool = True) -> Dict:
     """Load a torch .pth checkpoint (torchvision download or the
     reference's fine-tuned `{"model_state_dict": ...}` format) and convert.

@@ -286,3 +286,35 @@ def test_full_detector_runs_with_converted_weights(mirror_and_params):
     assert boxes.shape == (2, 100, 4)
     assert np.isfinite(boxes[valid]).all()
     assert (labels[valid] >= 1).all()
+
+
+def test_export_import_roundtrip(mirror_and_params):
+    """export_torchvision_state_dict is the converter's inverse: a JAX-
+    trained detector saved in the reference's checkpoint format
+    (`baselines/detector.py:55-69`) survives the roundtrip bit-exactly."""
+    from objectpermanence_tpu.models.detector.convert import (
+        export_torchvision_state_dict,
+    )
+    _, params = mirror_and_params
+    sd = export_torchvision_state_dict(params)
+    back = convert_torchvision_state_dict(sd)
+    leaves1, tree1 = jax.tree.flatten(params)
+    leaves2, tree2 = jax.tree.flatten(back)
+    assert tree1 == tree2
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exported_state_dict_loads_into_torch_mirror(mirror_and_params):
+    """The exported dict drops into the torch mirror via load_state_dict
+    (strict) — i.e. it IS a valid torchvision-format checkpoint."""
+    model, params = mirror_and_params
+    from objectpermanence_tpu.models.detector.convert import (
+        export_torchvision_state_dict,
+    )
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torchvision_state_dict(params).items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # only BN num_batches_tracked counters may be missing
+    assert not unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing)
