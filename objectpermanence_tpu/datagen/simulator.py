@@ -498,7 +498,11 @@ def simulate_dataset(root, num_videos: int = 8, seed: int = 0,
     for v in range(num_videos):
         name = f"CATER_sim_{v:06d}"
         for attempt in range(64):
-            sim = SceneSimulator(seed * 1000 + v + attempt * 7919,
+            # disjoint seed blocks: the split seed owns a 2^20 range, each
+            # video a 64-wide sub-range for its re-roll attempts — different
+            # split seeds can never collide (a v*1000-style scheme made dev
+            # scenes byte-identical to train scenes)
+            sim = SceneSimulator((seed << 20) + v * 64 + attempt,
                                  num_frames, num_objects,
                                  snitch_bias=snitch_bias)
             objs, movements = sim.build()

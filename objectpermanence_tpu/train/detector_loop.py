@@ -59,11 +59,14 @@ def train_detector(train_dataset: DetectionDataset,
                    learning_rate: float = 5e-3, momentum: float = 0.9,
                    weight_decay: float = 5e-4, warmup_iters: int = 1000,
                    checkpoint_dir: str = "./checkpoints/detector",
-                   print_step: int = 50, seed: int = 0, mesh=None) -> Dict:
+                   print_step: int = 50, seed: int = 0, mesh=None,
+                   init_params=None) -> Dict:
     """With `mesh`, image batches are sharded over the mesh's data axis
     (reference `object_detection/training.py` is single-GPU; here XLA
     derives the gradient all-reduce from the input shardings). The batch
-    size is rounded up to a multiple of the data axis."""
+    size is rounded up to a multiple of the data axis. `init_params` starts
+    from pretrained weights (the reference's COCO fine-tune path,
+    `object_detection/models.py:6-20`) instead of random init."""
     from objectpermanence_tpu.parallel.mesh import (
         batch_sharding, replicate, shard_batch,
     )
@@ -71,7 +74,8 @@ def train_detector(train_dataset: DetectionDataset,
         data_par = mesh.shape["data"]
         batch_size = -(-batch_size // data_par) * data_par
 
-    params = detector_init(jax.random.PRNGKey(seed), config)
+    params = (init_params if init_params is not None
+              else detector_init(jax.random.PRNGKey(seed), config))
     if mesh is not None:
         params = jax.device_put(params, replicate(mesh))
     anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
