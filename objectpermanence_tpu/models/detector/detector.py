@@ -58,6 +58,10 @@ class DetectorConfig:
     # CUDA recipe is fp32-only (`object_detection/training.py`); bf16 is the
     # TPU-native speed path (params remain fp32 masters).
     compute_dtype: str = "float32"
+    # RoIAlign backend: "auto" uses the whole-batch roi-tiled Pallas kernel
+    # (ops/pallas_roi_align.py, ~5x the XLA gather) when on TPU and the
+    # pyramid fits VMEM, else the gather path; "gather"/"pallas" force one.
+    roi_backend: str = "auto"
 
     @property
     def scale(self) -> float:
@@ -132,6 +136,44 @@ def propose(params, pyramid, config: DetectorConfig, anchor_arrays):
     return proposals, scores
 
 
+def _use_pallas_roi(config: DetectorConfig) -> bool:
+    if config.roi_backend == "gather":
+        return False
+    if config.roi_backend == "pallas":
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    # Mosaic's minor-dim reshape needs a 128-multiple channel chunk
+    if config.fpn_channels % 128 != 0:
+        return False
+    # per-level feature planes of ONE image must fit VMEM alongside the
+    # kernel's working set (true at the native CATER resolution)
+    h, w = config.padded_hw
+    total = sum(math.ceil(h / s) * math.ceil(w / s) for s in (4, 8, 16, 32))
+    return total * config.fpn_channels * 4 <= 8 * 2**20
+
+
+def batched_roi_align(pyramid, proposals, config: DetectorConfig,
+                      layout: str = "nchw"):
+    """Pyramid levels (NCHW, or NHWC with layout="nhwc") + (B, N, 4) rois
+    -> (B, N, C, p, p), dispatching to the whole-batch roi-tiled Pallas
+    kernel or the XLA gather path (identical semantics)."""
+    if _use_pallas_roi(config):
+        from objectpermanence_tpu.ops.pallas_roi_align import (
+            roi_align_pallas_batched,
+        )
+        levels = jax.vmap(roi_heads.assign_levels)(proposals)
+        pooled = roi_align_pallas_batched(pyramid, proposals, levels,
+                                          roi_heads.ROI_STRIDES,
+                                          layout=layout)
+        return pooled.astype(pyramid[0].dtype)
+    if layout == "nhwc":
+        pyramid = [jnp.moveaxis(p, -1, 1) for p in pyramid]
+    return jax.vmap(lambda feats, props:
+                    roi_heads.multiscale_roi_align(feats, props))(
+        pyramid, proposals)
+
+
 def detect_forward(params, images, config: DetectorConfig, anchor_arrays):
     """Full inference forward for a batch of raw frames.
     -> boxes (B, D, 4) in ORIGINAL image coords, labels, scores, valid."""
@@ -139,18 +181,19 @@ def detect_forward(params, images, config: DetectorConfig, anchor_arrays):
     pyramid = forward_features(params, prepped, config)
     proposals, prop_scores = propose(params, pyramid, config, anchor_arrays)
 
-    # NHWC -> CHW per image for roi align; vmap over the batch
-    roi_feats_chw = [jnp.moveaxis(p, -1, 1) for p in pyramid[:4]]  # (B,C,H,W)
+    # the pallas kernel consumes the backbone's native NHWC directly; the
+    # gather fallback transposes internally
+    pooled = batched_roi_align(pyramid[:4], proposals, config,
+                               layout="nhwc")                      # (B,N,C,p,p)
 
-    def per_image(feats, props, pscores):
-        pooled = roi_heads.multiscale_roi_align(feats, props)
-        cls_logits, box_deltas = roi_heads.box_head_apply(params["box_head"], pooled)
+    def per_image(pooled_i, props, pscores):
+        cls_logits, box_deltas = roi_heads.box_head_apply(params["box_head"],
+                                                          pooled_i)
         return roi_heads.postprocess_detections(
             cls_logits, box_deltas, props, pscores, config.padded_hw,
             config.score_thresh, config.nms_thresh, config.detections_per_img)
 
-    boxes, labels, scores = jax.vmap(per_image)(
-        roi_feats_chw, proposals, prop_scores)
+    boxes, labels, scores = jax.vmap(per_image)(pooled, proposals, prop_scores)
     boxes = boxes / config.scale  # back to original image coordinates
     valid = scores > NEG_INF / 10
     return boxes, labels, scores, valid

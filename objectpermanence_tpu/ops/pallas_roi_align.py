@@ -159,3 +159,416 @@ def roi_align_pallas(features: List[jax.Array], rois: jax.Array,
 def levels_fit_vmem(features: List[jax.Array], budget_bytes: int = 12 * 2**20) -> bool:
     total = sum(int(np.prod(f.shape)) * 4 for f in features)
     return total <= budget_bytes
+
+
+# ---------------------------------------------------------------------------
+# RoI-tiled kernel: R rois per grid step, level-sorted, channel-chunked.
+#
+# The per-roi kernel above feeds the MXU k=pooled*sampling_ratio (=14) rows
+# per matmul -- ~11% of the systolic array. This variant makes three changes:
+#   1. Bin-averaging is folded INTO the interpolation weights (averaging a
+#      linear map == mapping with averaged weights), so each roi contributes
+#      `pooled` (=7) rows instead of k=14 -- 4x fewer FLOPs in both passes
+#      and no post-matmul reshuffle.
+#   2. Rois are sorted by FPN level and packed R=8 same-level rois per grid
+#      step (56 MXU rows; VMEM bounds R at Cc=128 -- the lane dim must be a
+#      128-multiple for Mosaic's minor-dim reshape), batching both passes:
+#        stage1: stacked Wy (R*p, H) @ F_chunk (H, W*Cc)   -- F shared
+#        stage2: block-diag Wx (R*p, R*W) @ S^T (R*W, p*Cc) -- one matmul for
+#                all R x-passes (structural zeros off the diagonal; still
+#                far faster than R separate 7-row matmuls)
+#   3. Channels are processed in Cc-wide chunks (grid dim 0, outer) so each
+#      chunk of every pyramid level stays VMEM-resident across roi blocks.
+# ---------------------------------------------------------------------------
+
+
+def _make_tiled_kernel(level_shapes, cc: int, pooled: int, r_blk: int,
+                       h_max: int, w_max: int):
+
+    def kernel(blklv_smem, *refs):
+        *feat_refs, wy_ref, wx_ref, out_ref = refs
+        b = pl.program_id(1)
+        lv = blklv_smem[b]
+
+        rp = r_blk * pooled
+        wy_blk = wy_ref[...]                                 # (R*p, Hmax)
+        wx_blk = wx_ref[...]                                 # (R*p, Wmax)
+
+        def level_branch(lvl):
+            h, w, _ = level_shapes[lvl]
+            ref = feat_refs[lvl]
+
+            def body():
+                feat = ref[0]                                # (H, W*Cc)
+                stage1 = jnp.dot(wy_blk[:, :h], feat,
+                                 preferred_element_type=jnp.float32)
+                # (R*p, W*Cc) -> (R*W, p*Cc), one roi at a time (Mosaic
+                # supports the 2D<->3D split + major-dim swap, with the
+                # minor dim a 128-multiple; not the fused 4D reshape)
+                rows = []
+                for r in range(r_blk):
+                    s_r = stage1[r * pooled:(r + 1) * pooled, :]
+                    s_r = s_r.reshape(pooled, w, cc)
+                    rows.append(jnp.swapaxes(s_r, 0, 1).reshape(w, pooled * cc))
+                stage1_t = jnp.concatenate(rows)             # (R*W, p*Cc)
+
+                # block-diagonal Wx: tile the dense (R*p, W) weights R times
+                # along columns, mask to col//W == row//p
+                wxs = wx_blk[:, :w]
+                tiled = jnp.concatenate([wxs] * r_blk, axis=1)   # (R*p, R*W)
+                qi = jax.lax.broadcasted_iota(jnp.int32, (rp, r_blk * w), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (rp, r_blk * w), 1)
+                wx_bd = jnp.where(ci // w == qi // pooled, tiled, 0.0)
+                return jnp.dot(wx_bd, stage1_t,
+                               preferred_element_type=jnp.float32)
+
+            return body
+
+        # (R*p, p*Cc): rows r*p + x_bin, cols y_bin*Cc + channel
+        out_ref[0] = jax.lax.switch(lv, [level_branch(l)
+                                         for l in range(len(level_shapes))])
+
+    return kernel
+
+
+def _binned_interp_weights(coords, sizes, size_max: int, pooled: int, s: int):
+    """Vectorized bin-averaged bilinear weight rows, built OUTSIDE the
+    kernel (XLA): coords (NP, k) sample positions in level pixel space,
+    sizes (NP,) per-roi level extent. -> (NP, pooled, size_max), zero
+    beyond each roi's level extent."""
+    k = pooled * s
+    np_rois = coords.shape[0]
+    sz = sizes[:, None].astype(jnp.float32)                     # (NP, 1)
+    inside = jnp.logical_and(coords >= -1.0, coords <= sz)
+    c = jnp.clip(coords, 0.0, sz - 1.0)
+    c0 = jnp.floor(c)
+    frac = c - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, sizes[:, None] - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (np_rois, k, size_max), 2)
+    w = (jnp.where(cols == c0i[:, :, None], (1.0 - frac)[:, :, None], 0.0) +
+         jnp.where(cols == c1i[:, :, None], frac[:, :, None], 0.0))
+    w = jnp.where(inside[:, :, None], w, 0.0)                   # (NP, k, M)
+    # fold the s-sample bin average into the weights (linear op)
+    return w.reshape(np_rois, pooled, s, size_max).mean(axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("level_shapes", "pooled",
+                                             "sampling_ratio", "r_blk", "cc"))
+def _pallas_roi_align_tiled(features_ch, padded_rois, slot_levels,
+                            block_levels, level_shapes, pooled,
+                            sampling_ratio, r_blk, cc):
+    np_rois = padded_rois.shape[0]
+    nblocks = np_rois // r_blk
+    nc = features_ch[0].shape[0]
+    s = sampling_ratio
+    k = pooled * s
+    h_max = max(h for h, _, _ in level_shapes)
+    w_max = max(w for _, w, _ in level_shapes)
+
+    # per-roi sample coordinates + bin-averaged weight rows, vectorized
+    hs = jnp.asarray([h for h, _, _ in level_shapes])[slot_levels]
+    ws = jnp.asarray([w for _, w, _ in level_shapes])[slot_levels]
+    scale = (1.0 / jnp.asarray([st for _, _, st in level_shapes],
+                               jnp.float32))[slot_levels]       # (NP,)
+    r = padded_rois * scale[:, None]
+    x1, y1 = r[:, 0], r[:, 1]
+    roi_w = jnp.maximum(r[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(r[:, 3] - y1, 1.0)
+    idx = jnp.arange(k, dtype=jnp.float32)
+    grid = jnp.floor(idx / s) + ((idx % s) + 0.5) / s           # (k,)
+    ys = y1[:, None] + grid[None, :] * (roi_h / pooled)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / pooled)[:, None]
+    wy = _binned_interp_weights(ys, hs, h_max, pooled, s)       # (NP, p, Hm)
+    wx = _binned_interp_weights(xs, ws, w_max, pooled, s)
+    wy2 = wy.reshape(np_rois * pooled, h_max)
+    wx2 = wx.reshape(np_rois * pooled, w_max)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                    # block levels
+        grid=(nc, nblocks),                       # chunks outer, blocks inner
+        in_specs=[
+            pl.BlockSpec((1, h, w * cc), lambda c, b, *_: (c, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (h, w, _) in level_shapes
+        ] + [
+            pl.BlockSpec((r_blk * pooled, h_max), lambda c, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk * pooled, w_max), lambda c, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # (nc, NP*p, p*cc): block second-minor r_blk*p is 8-divisible
+        # (r_blk=8), block minor equals the full array dim -- satisfying
+        # the TPU (8, 128)-divisible-or-full block constraint
+        out_specs=pl.BlockSpec((1, r_blk * pooled, pooled * cc),
+                               lambda c, b, *_: (c, b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = _make_tiled_kernel(level_shapes, cc, pooled, r_blk, h_max, w_max)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc, np_rois * pooled, pooled * cc),
+                                       jnp.float32),
+    )(block_levels, *features_ch, wy2, wx2)
+    # (nc, NP*p, p*cc) -> (NP, p_x, p_y, C)  (host-side XLA reshape, free of
+    # Mosaic layout constraints)
+    out = out.reshape(nc, np_rois, pooled, pooled, cc)
+    out = jnp.transpose(out, (1, 2, 3, 0, 4))
+    return out.reshape(np_rois, pooled, pooled, nc * cc)
+
+
+def roi_align_pallas_tiled(features: List[jax.Array], rois: jax.Array,
+                           levels: jax.Array, strides: Sequence[int],
+                           pooled: int = 7, sampling_ratio: int = 2,
+                           channel_chunk: int = 128, r_blk: int = 8) -> jax.Array:
+    """Roi-tiled multi-level RoIAlign. Same API/semantics as
+    `roi_align_pallas` / `multilevel_roi_align`:
+    features [ (C, H_l, W_l) ], rois (N, 4), levels (N,)
+    -> (N, C, pooled, pooled)."""
+    n = rois.shape[0]
+    c = int(features[0].shape[0])
+    num_levels = len(features)
+    cc = channel_chunk if c % channel_chunk == 0 else c
+    nc = c // cc
+
+    level_shapes = tuple(
+        (int(f.shape[1]), int(f.shape[2]), float(stride))
+        for f, stride in zip(features, strides))
+    # (C, H, W) -> (nc, H, W*Cc), channel-minor within a chunk
+    features_ch = [
+        jnp.moveaxis(f, 0, -1).reshape(f.shape[1], f.shape[2], nc, cc)
+           .transpose(2, 0, 1, 3).reshape(nc, f.shape[1], f.shape[2] * cc)
+        for f in features
+    ]
+
+    levels = levels.astype(jnp.int32)
+    nblocks = -(-n // r_blk) + num_levels     # worst-case per-level padding
+    np_rois = nblocks * r_blk
+
+    # sort rois by level and scatter into per-level R-aligned slots
+    perm = jnp.argsort(levels)                             # stable
+    sorted_rois = rois.astype(jnp.float32)[perm]
+    sorted_lv = levels[perm]
+    counts = jnp.bincount(levels, length=num_levels)
+    padded_counts = -(-counts // r_blk) * r_blk
+    pad_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)])
+    level_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(n, dtype=jnp.int32) - level_start[sorted_lv]
+    dst = pad_off[sorted_lv] + rank                        # (N,) slot index
+
+    padded_rois = jnp.zeros((np_rois, 4), jnp.float32).at[dst].set(sorted_rois)
+    slot_lv = jnp.zeros((np_rois,), jnp.int32).at[dst].set(sorted_lv)
+    slot_lv_min1 = jnp.full((np_rois,), -1, jnp.int32).at[dst].set(sorted_lv)
+    block_levels = jnp.maximum(
+        slot_lv_min1.reshape(nblocks, r_blk).max(axis=1), 0)
+
+    out_p = _pallas_roi_align_tiled(features_ch, padded_rois, slot_lv,
+                                    block_levels, level_shapes, pooled,
+                                    sampling_ratio, r_blk, cc)  # (NP, p, p, C)
+    # slot of ORIGINAL roi j, then one gather back to input order
+    dst_of_orig = jnp.zeros((n,), jnp.int32).at[perm].set(dst)
+    out = out_p[dst_of_orig]                                 # (N, p_x, p_y, C)
+    return jnp.transpose(out, (0, 3, 2, 1))                  # (N, C, p_y, p_x)
+
+
+# ---------------------------------------------------------------------------
+# Batched tiled kernel: the whole detector batch in ONE pallas launch.
+#
+# Per-step overhead (~7us: semaphores + block bookkeeping) dominates the
+# per-image kernel, so a (B, nc, nblocks) grid amortizes it across the whole
+# frame batch instead of vmapping B separate launches. Per-image roi->slot
+# packing is vmapped XLA; the kernel body is identical.
+# ---------------------------------------------------------------------------
+
+
+def _pack_rois_by_level(rois, levels, num_levels: int, r_blk: int,
+                        np_rois: int):
+    """Per-image roi packing: sort by level, scatter into r_blk-aligned
+    per-level slots. -> (padded_rois (NP,4), slot_lv (NP,), block_levels
+    (NP/r_blk,), dst_of_orig (N,))."""
+    n = rois.shape[0]
+    nblocks = np_rois // r_blk
+    perm = jnp.argsort(levels)
+    sorted_rois = rois.astype(jnp.float32)[perm]
+    sorted_lv = levels[perm]
+    counts = jnp.bincount(levels, length=num_levels)
+    padded_counts = -(-counts // r_blk) * r_blk
+    pad_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)])
+    level_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(n, dtype=jnp.int32) - level_start[sorted_lv]
+    dst = pad_off[sorted_lv] + rank
+    padded_rois = jnp.zeros((np_rois, 4), jnp.float32).at[dst].set(sorted_rois)
+    slot_lv = jnp.zeros((np_rois,), jnp.int32).at[dst].set(sorted_lv)
+    slot_lv_min1 = jnp.full((np_rois,), -1, jnp.int32).at[dst].set(sorted_lv)
+    block_levels = jnp.maximum(
+        slot_lv_min1.reshape(nblocks, r_blk).max(axis=1), 0)
+    dst_of_orig = jnp.zeros((n,), jnp.int32).at[perm].set(dst)
+    return padded_rois, slot_lv, block_levels, dst_of_orig
+
+
+@functools.partial(jax.jit, static_argnames=("level_shapes", "pooled",
+                                             "sampling_ratio", "r_blk", "cc"))
+def _pallas_roi_align_tiled_batched(features_ch, padded_rois, slot_levels,
+                                    block_levels, level_shapes, pooled,
+                                    sampling_ratio, r_blk, cc):
+    """features_ch: [ (B, nc, H, W*cc) ]; padded_rois (B, NP, 4);
+    slot_levels (B, NP); block_levels (B*nblocks,).
+    -> (B, NP, pooled, pooled, C)."""
+    batch, np_rois = padded_rois.shape[:2]
+    nblocks = np_rois // r_blk
+    nc = features_ch[0].shape[1]
+    s = sampling_ratio
+    k = pooled * s
+    h_max = max(h for h, _, _ in level_shapes)
+    w_max = max(w for _, w, _ in level_shapes)
+
+    flat_rois = padded_rois.reshape(batch * np_rois, 4)
+    flat_lv = slot_levels.reshape(batch * np_rois)
+    hs = jnp.asarray([h for h, _, _ in level_shapes])[flat_lv]
+    ws = jnp.asarray([w for _, w, _ in level_shapes])[flat_lv]
+    scale = (1.0 / jnp.asarray([st for _, _, st in level_shapes],
+                               jnp.float32))[flat_lv]
+    r = flat_rois * scale[:, None]
+    x1, y1 = r[:, 0], r[:, 1]
+    roi_w = jnp.maximum(r[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(r[:, 3] - y1, 1.0)
+    idx = jnp.arange(k, dtype=jnp.float32)
+    grid = jnp.floor(idx / s) + ((idx % s) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / pooled)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / pooled)[:, None]
+    wy = _binned_interp_weights(ys, hs, h_max, pooled, s)
+    wx = _binned_interp_weights(xs, ws, w_max, pooled, s)
+    # match the features' compute dtype (bf16 under mixed precision);
+    # the kernel's dots accumulate in fp32 either way
+    fdt = features_ch[0].dtype
+    wy2 = wy.reshape(batch * np_rois * pooled, h_max).astype(fdt)
+    wx2 = wx.reshape(batch * np_rois * pooled, w_max).astype(fdt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, nc, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w * cc), lambda i, c, b, *_: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (h, w, _) in level_shapes
+        ] + [
+            pl.BlockSpec((r_blk * pooled, h_max),
+                         lambda i, c, b, *_, nb=nblocks: (i * nb + b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk * pooled, w_max),
+                         lambda i, c, b, *_, nb=nblocks: (i * nb + b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_blk * pooled, pooled * cc),
+                               lambda i, c, b, *_, nb=nblocks:
+                               (c, i * nb + b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(blklv_smem, *refs):
+        *feat_refs, wy_ref, wx_ref, out_ref = refs
+        i = pl.program_id(0)
+        b = pl.program_id(2)
+        lv = blklv_smem[i * nblocks + b]
+        rp = r_blk * pooled
+        wy_blk = wy_ref[...]
+        wx_blk = wx_ref[...]
+
+        def level_branch(lvl):
+            h, w, _ = level_shapes[lvl]
+            ref = feat_refs[lvl]
+
+            def body():
+                feat = ref[0, 0]
+                # HIGHEST: full fp32 MXU passes -- keeps the kernel within
+                # float tolerance of the exact gather path (near-threshold
+                # NMS decisions downstream are sensitive to pass truncation)
+                stage1 = jnp.dot(wy_blk[:, :h], feat,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                # transpose + second pass in the compute dtype (fp32 or bf16)
+                stage1 = stage1.astype(wy_blk.dtype)
+                rows = []
+                for rr in range(r_blk):
+                    s_r = stage1[rr * pooled:(rr + 1) * pooled, :]
+                    s_r = s_r.reshape(pooled, w, cc)
+                    rows.append(jnp.swapaxes(s_r, 0, 1).reshape(w, pooled * cc))
+                stage1_t = jnp.concatenate(rows)
+                wxs = wx_blk[:, :w]
+                tiled = jnp.concatenate([wxs] * r_blk, axis=1)
+                qi = jax.lax.broadcasted_iota(jnp.int32, (rp, r_blk * w), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (rp, r_blk * w), 1)
+                wx_bd = jnp.where(ci // w == qi // pooled, tiled, 0.0)
+                return jnp.dot(wx_bd, stage1_t,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+            return body
+
+        out_ref[0] = jax.lax.switch(lv, [level_branch(l)
+                                         for l in range(len(level_shapes))])
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nc, batch * np_rois * pooled, pooled * cc), jnp.float32),
+    )(block_levels, *features_ch, wy2, wx2)
+    out = out.reshape(nc, batch, np_rois, pooled, pooled, cc)
+    out = jnp.transpose(out, (1, 2, 3, 4, 0, 5))
+    return out.reshape(batch, np_rois, pooled, pooled, nc * cc)
+
+
+def roi_align_pallas_batched(features: List[jax.Array], rois: jax.Array,
+                             levels: jax.Array, strides: Sequence[int],
+                             pooled: int = 7, sampling_ratio: int = 2,
+                             channel_chunk: int = 128,
+                             r_blk: int = 8, layout: str = "nchw") -> jax.Array:
+    """Whole-batch roi-tiled RoIAlign.
+    features: [ (B, C, H_l, W_l) ] (layout="nchw") or [ (B, H_l, W_l, C) ]
+    (layout="nhwc" -- the backbone's native layout, one fewer relayout);
+    rois (B, N, 4); levels (B, N).
+    -> (B, N, C, pooled, pooled), matching vmap(multilevel_roi_align)."""
+    batch, n = rois.shape[:2]
+    c = int(features[0].shape[1] if layout == "nchw" else features[0].shape[3])
+    num_levels = len(features)
+    cc = channel_chunk if c % channel_chunk == 0 else c
+    nc = c // cc
+
+    if layout == "nchw":
+        level_shapes = tuple(
+            (int(f.shape[2]), int(f.shape[3]), float(stride))
+            for f, stride in zip(features, strides))
+        features = [jnp.moveaxis(f, 1, -1) for f in features]
+    else:
+        level_shapes = tuple(
+            (int(f.shape[1]), int(f.shape[2]), float(stride))
+            for f, stride in zip(features, strides))
+    # (B, H, W, C) -> (B, nc, H, W*cc)
+    features_ch = [
+        f.reshape(f.shape[0], f.shape[1], f.shape[2], nc, cc)
+         .transpose(0, 3, 1, 2, 4)
+         .reshape(f.shape[0], nc, f.shape[1], f.shape[2] * cc)
+        for f in features
+    ]
+
+    levels = levels.astype(jnp.int32)
+    nblocks = -(-n // r_blk) + num_levels
+    np_rois = nblocks * r_blk
+
+    pack = jax.vmap(functools.partial(
+        _pack_rois_by_level, num_levels=num_levels, r_blk=r_blk,
+        np_rois=np_rois))
+    padded_rois, slot_lv, block_levels, dst_of_orig = pack(rois, levels)
+
+    out_p = _pallas_roi_align_tiled_batched(
+        features_ch, padded_rois, slot_lv, block_levels.reshape(-1),
+        level_shapes, pooled, sampling_ratio, r_blk, cc)
+    out = jnp.take_along_axis(
+        out_p, dst_of_orig[:, :, None, None, None], axis=1)  # (B,N,p,p,C)
+    return jnp.transpose(out, (0, 1, 4, 3, 2))               # (B,N,C,p_y,p_x)

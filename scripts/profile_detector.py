@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--post-top", type=int, default=300)
     ap.add_argument("--min-size", type=int, default=240)
     ap.add_argument("--max-size", type=int, default=320)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--roi", default="auto", choices=["auto", "gather", "pallas"])
     args = ap.parse_args()
 
     from objectpermanence_tpu.models.detector import anchors as anchor_lib
@@ -57,7 +60,8 @@ def main():
 
     config = DetectorConfig(min_size=args.min_size, max_size=args.max_size,
                             rpn_pre_nms_top_n=args.pre_top,
-                            rpn_post_nms_top_n=args.post_top)
+                            rpn_post_nms_top_n=args.post_top,
+                            compute_dtype=args.dtype, roi_backend=args.roi)
     anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
         config.feature_shapes(), config.strides, config.anchor_sizes)]
     params = detector_init(jax.random.PRNGKey(0), config)
@@ -80,9 +84,8 @@ def main():
         pyr = forward_features(p, preprocess_images(x, config), config)
         props, scores = propose(p, pyr, config, anchors)
         feats = [jnp.moveaxis(f, -1, 1) for f in pyr[:4]]
-        pooled = jax.vmap(lambda f, pr: roi_heads.multiscale_roi_align(f, pr))(
-            feats, props)
-        return pooled
+        from objectpermanence_tpu.models.detector.detector import batched_roi_align
+        return batched_roi_align(feats, props, config)
 
     f_roi = jax.jit(to_roi)
 
@@ -91,11 +94,9 @@ def main():
         props, scores = propose(p, pyr, config, anchors)
         feats = [jnp.moveaxis(f, -1, 1) for f in pyr[:4]]
 
-        def per_image(f, pr):
-            pooled = roi_heads.multiscale_roi_align(f, pr)
-            return roi_heads.box_head_apply(p["box_head"], pooled)
-
-        return jax.vmap(per_image)(feats, props)
+        from objectpermanence_tpu.models.detector.detector import batched_roi_align
+        pooled = batched_roi_align(feats, props, config)
+        return jax.vmap(lambda pi: roi_heads.box_head_apply(p["box_head"], pi))(pooled)
 
     f_head = jax.jit(to_head)
     f_full = jax.jit(lambda p, x: detect_forward(p, x, config, anchors))

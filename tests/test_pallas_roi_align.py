@@ -39,3 +39,53 @@ def test_levels_fit_vmem():
     big = [jnp.zeros((256, 200, 272))]
     assert pra.levels_fit_vmem(small)
     assert not pra.levels_fit_vmem(big)
+
+
+def _random_rois(rng, n):
+    rois = []
+    for _ in range(n):
+        size = rng.choice([20, 80, 200, 500])
+        x1, y1 = rng.uniform(0, 40), rng.uniform(0, 30)
+        rois.append([x1, y1, x1 + size, y1 + size])
+    return np.array(rois, np.float32)
+
+
+def test_tiled_roi_align_matches_gather():
+    rng = np.random.RandomState(1)
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.rand(8, h, w).astype(np.float32)) for h, w in shapes]
+    rois = jnp.asarray(_random_rois(rng, 21))  # not a multiple of r_blk
+    levels = assign_levels(rois)
+    ref = multilevel_roi_align(feats, rois, levels, ROI_STRIDES)
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas_tiled(feats, rois, levels, ROI_STRIDES,
+                                         channel_chunk=4)
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batched_tiled_roi_align_matches_vmapped_gather():
+    import jax
+    rng = np.random.RandomState(2)
+    B = 3
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.rand(B, 8, h, w).astype(np.float32))
+             for h, w in shapes]
+    rois = jnp.asarray(np.stack([_random_rois(rng, 17) for _ in range(B)]))
+    levels = jax.vmap(assign_levels)(rois)
+    ref = jax.vmap(lambda *a: multilevel_roi_align(list(a[:4]), a[4], a[5],
+                                                   ROI_STRIDES))(
+        *feats, rois, levels)
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas_batched(feats, rois, levels, ROI_STRIDES,
+                                           channel_chunk=4)
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
