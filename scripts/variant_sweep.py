@@ -1,0 +1,149 @@
+"""Learned-model comparison on the simulated containment benchmark.
+
+The reference paper's core table compares OPNet against the learned
+baselines (BaselineLstm / NonLinearLstm / TransformerLstm / OPNetLstmMlp)
+and the programmed reasoners on snitch localization. This driver trains
+each requested variant with the reference recipe on a containment dataset
+built by `scripts/containment_run.py datagen`, evaluates on the held-out
+test split through the real inference + analyzer path, and writes one
+results table.
+
+    python scripts/variant_sweep.py --root /root/data/sim4k --epochs 60 \
+        --train-limit 800 --models opnet baseline_lstm non_linear_lstm
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+DEFAULT_MODELS = ("opnet", "opnet_lstm_mlp", "baseline_lstm",
+                  "non_linear_lstm", "transformer_lstm")
+
+MODEL_CONFIGS = {
+    # reference configs/*.json
+    "opnet": {"object_to_track_pred_dim": 15,
+              "object_to_track_hidden_dim": 256, "videos_hidden_dim": 512},
+    "opnet_lstm_mlp": {"object_to_track_pred_dim": 15,
+                       "object_to_track_hidden_dim": 256,
+                       "videos_hidden_dim": 512},
+    "baseline_lstm": {"videos_hidden_dim": 512},
+    "non_linear_lstm": {"boxes_features_dim": 256, "videos_hidden_dim": 512},
+    "transformer_lstm": {"boxes_features_dim": 256,
+                         "num_attention_heads": 2,
+                         "num_attention_layers": 2, "num_lstm_layers": 2,
+                         "lstm_hidden_dim": 512},
+}
+
+
+def subset(dataset, limit):
+    if limit is None or limit >= len(dataset):
+        return dataset
+    from objectpermanence_tpu.data.ingest import IngestedDataset
+    return IngestedDataset(
+        dataset.names[:limit], dataset.boxes[:limit],
+        (dataset.index_to_track[:limit]
+         if dataset.index_to_track is not None else None),
+        dataset.labels[:limit],
+        (dataset.containment_mask[:limit]
+         if dataset.containment_mask is not None else None))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", type=Path, default=Path("/root/data/sim4k"))
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--train-limit", type=int, default=800)
+    ap.add_argument("--models", nargs="+", default=list(DEFAULT_MODELS))
+    args = ap.parse_args()
+
+    from objectpermanence_tpu.analysis.offline import analyze_results
+    from objectpermanence_tpu.data.ingest import ingest_directory
+    from objectpermanence_tpu.infer.reasoning import reasoning_inference_main
+    from objectpermanence_tpu.models.registry import get_model_spec
+    from objectpermanence_tpu.train.loop import training_main
+    from objectpermanence_tpu.utils.checkpoint import best_params_checkpoint
+
+    root = args.root
+    cache = str(root / "cache")
+    rows = []
+    for model in args.models:
+        spec = get_model_spec(model)
+        datasets = {}
+        for split in ("train", "dev"):
+            d = root / split
+            datasets[split] = ingest_directory(
+                d / "od_perception", d / "labels", spec.feature_width,
+                d / "annotations" / "containment_annotations.txt", cache)
+        train_ds = subset(datasets["train"], args.train_limit)
+        ckpt_dir = root / "sweep" / model
+        train_config = {
+            "batch_size": 16, "inference_batch_size": 400,
+            "num_epochs": args.epochs, "print_step": 1000,
+            "learning_rate": 1e-3, "lr_scheduler_patience": 2,
+            "lr_scheduler_factor": 0.8,
+            "checkpoints_path": str(ckpt_dir),
+            "metrics_file": str(ckpt_dir / "metrics.jsonl"),
+            "train_sample_dir": "x", "train_labels_dir": "x",
+            "train_containment_file": "x", "dev_sample_dir": "x",
+            "dev_labels_dir": "x", "dev_containment_file": "x",
+        }
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        print(f"[sweep] training {model} ({len(train_ds)} videos, "
+              f"{args.epochs} epochs)...", flush=True)
+        t0 = time.time()
+        result = training_main(spec, train_ds, datasets["dev"], train_config,
+                               MODEL_CONFIGS[model])
+        train_s = time.time() - t0
+
+        best = best_params_checkpoint(ckpt_dir / model)
+        test_dir = root / "test"
+        inference_config = {
+            "batch_size": 300,
+            "sample_dir": str(test_dir / "od_perception"),
+            "labels_dir": str(test_dir / "labels"),
+            "model_path": str(best), "cache_dir": cache,
+        }
+        results_dir = root / "sweep" / f"results_{model}"
+        reasoning_inference_main(model, str(results_dir), inference_config,
+                                 MODEL_CONFIGS[model])
+        ann = test_dir / "annotations"
+        csv_path = root / "sweep" / f"analysis_{model}.csv"
+        analyze_results(
+            str(results_dir), str(test_dir / "labels"), str(csv_path),
+            str(ann / "containment_annotations.txt"),
+            str(ann / "containment_only_static_annotations.txt"),
+            str(ann / "containment_with_move_annotations.txt"),
+            str(test_dir / "od_perception" / "visibility_rate_gt_0.99.txt"),
+            None, None, [0.5, 0.9])
+        import pandas as pd
+        df = pd.read_csv(csv_path)
+        rows.append({
+            "model": model,
+            "best_dev_miou": round(result.best_dev_iou, 4),
+            "test_overall_iou": round(float(df["overall_iou"].mean()), 4),
+            "test_contained_iou": round(
+                float(df["contained_mean_iou"].mean()), 4),
+            "test_visible_iou": round(
+                float(df["visibility_gt_0_mean_iou"].mean()), 4),
+            "test_map_0.5": round(float(df["overall_map_0.5"].mean()), 4),
+            "train_seconds": round(train_s),
+        })
+        print(f"[sweep] {model}: {rows[-1]}", flush=True)
+        (root / "sweep" / "results.json").write_text(
+            json.dumps(rows, indent=2))
+
+    hdr = ["model", "best_dev_miou", "test_overall_iou",
+           "test_contained_iou", "test_visible_iou", "test_map_0.5"]
+    print("  ".join(f"{h:>18s}" for h in hdr))
+    for r in rows:
+        print("  ".join(f"{str(r[h]):>18s}" for h in hdr))
+
+
+if __name__ == "__main__":
+    main()
