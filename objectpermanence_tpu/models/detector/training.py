@@ -97,15 +97,12 @@ def rpn_loss(rng, objectness, deltas, anchors_cat, gt_boxes, gt_valid,
     return cls_loss, reg_loss
 
 
-def roi_loss(rng, params, pyramid_chw, proposals, prop_scores, gt_boxes,
+def roi_loss(rng, params, pooled, all_props, all_scores, gt_boxes,
              gt_labels, gt_valid, batch_per_image: int = 512,
              positive_fraction: float = 0.25):
-    """Sample proposals (+appended gt), pool, and compute head losses for
-    ONE image. Returns (cls_loss, reg_loss)."""
-    # append gt boxes to the proposal set (torchvision add_gt_proposals)
-    all_props = jnp.concatenate([proposals, gt_boxes])
-    all_scores = jnp.concatenate([
-        prop_scores, jnp.where(gt_valid, 1.0, NEG_INF)])
+    """Sample proposals (+appended gt, already pooled by the caller's
+    batched RoIAlign) and compute head losses for ONE image.
+    Returns (cls_loss, reg_loss)."""
     valid_prop = all_scores > NEG_INF / 10
 
     matches = match_boxes(gt_boxes, gt_valid, all_props, 0.5, 0.5,
@@ -116,7 +113,6 @@ def roi_loss(rng, params, pyramid_chw, proposals, prop_scores, gt_boxes,
     sampled = jnp.logical_and(sampled, valid_prop)
     num_sampled = jnp.maximum(jnp.sum(sampled), 1)
 
-    pooled = roi_heads.multiscale_roi_align(pyramid_chw, all_props)
     cls_logits, box_deltas = roi_heads.box_head_apply(params["box_head"], pooled)
 
     matched_idx = jnp.maximum(matches, 0)
@@ -152,23 +148,31 @@ def detection_loss(params, images, gt_boxes, gt_labels, gt_valid, rng,
     proposals = jax.lax.stop_gradient(proposals)
     prop_scores = jax.lax.stop_gradient(prop_scores)
 
-    pyramid_chw = [jnp.moveaxis(p, -1, 1) for p in pyramid[:4]]
-
     batch = images.shape[0]
     rngs = jax.random.split(rng, batch * 2).reshape(batch, 2, -1)
     # gt boxes arrive in original image coords; scale to the padded pyramid
     gt_scaled = gt_boxes * config.scale
 
+    # append gt boxes to the proposal set (torchvision add_gt_proposals)
+    # and pool the whole batch at once (the batched pallas kernel when
+    # available; its custom VJP carries dFeatures, proposals are constant)
+    from objectpermanence_tpu.models.detector.detector import batched_roi_align
+    all_props = jnp.concatenate([proposals, gt_scaled], axis=1)   # (B,P+G,4)
+    all_scores = jnp.concatenate([
+        prop_scores, jnp.where(gt_valid, 1.0, NEG_INF)], axis=1)
+    pooled = batched_roi_align(
+        pyramid[:4], jax.lax.stop_gradient(all_props), config, layout="nhwc")
+
     def per_image(args):
-        obj, dts, props, pscores, feats, gtb, gtl, gtv, r = args
+        obj, dts, pooled_i, props, pscores, gtb, gtl, gtv, r = args
         rpn_cls, rpn_reg = rpn_loss(r[0], obj, dts, anchors_cat, gtb, gtv)
-        roi_cls, roi_reg = roi_loss(r[1], params, feats, props, pscores,
+        roi_cls, roi_reg = roi_loss(r[1], params, pooled_i, props, pscores,
                                     gtb, gtl, gtv)
         return rpn_cls, rpn_reg, roi_cls, roi_reg
 
     losses = jax.vmap(per_image)((
-        obj_cat, deltas_cat, proposals, prop_scores,
-        pyramid_chw, gt_scaled, gt_labels, gt_valid, rngs))
+        obj_cat, deltas_cat, pooled, all_props, all_scores,
+        gt_scaled, gt_labels, gt_valid, rngs))
     parts = {name: jnp.mean(v) for name, v in
              zip(["loss_objectness", "loss_rpn_box_reg",
                   "loss_classifier", "loss_box_reg"], losses)}

@@ -566,9 +566,174 @@ def roi_align_pallas_batched(features: List[jax.Array], rois: jax.Array,
         np_rois=np_rois))
     padded_rois, slot_lv, block_levels, dst_of_orig = pack(rois, levels)
 
-    out_p = _pallas_roi_align_tiled_batched(
-        features_ch, padded_rois, slot_lv, block_levels.reshape(-1),
+    # custom-VJP wrapper: differentiable wrt features (rois/levels are
+    # stop_gradient'ed by callers), so the training step can use this path
+    out_p = _tiled_batched_diff(
+        features_ch, jax.lax.stop_gradient(padded_rois),
+        jax.lax.stop_gradient(slot_lv),
+        jax.lax.stop_gradient(block_levels.reshape(-1)),
         level_shapes, pooled, sampling_ratio, r_blk, cc)
     out = jnp.take_along_axis(
         out_p, dst_of_orig[:, :, None, None, None], axis=1)  # (B,N,p,p,C)
     return jnp.transpose(out, (0, 1, 4, 3, 2))               # (B,N,C,p_y,p_x)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: feature gradients through the batched tiled kernel, enabling
+# pallas RoIAlign in the detector TRAINING step (proposals are
+# stop_gradient'ed there, so only dFeatures is needed). The backward is the
+# forward transposed:
+#     d stage1_t = Wx_bd^T @ dOut ;  dF += Wy_blk^T @ untranspose(d stage1_t)
+# with dF accumulated across the roi blocks of each (image, chunk) in VMEM
+# (output blocks are zeroed at b==0 and revisited while b sweeps).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("level_shapes", "pooled",
+                                             "sampling_ratio", "r_blk", "cc",
+                                             "fdt"))
+def _pallas_roi_align_tiled_batched_bwd(dout_packed, padded_rois, slot_levels,
+                                        block_levels, level_shapes, pooled,
+                                        sampling_ratio, r_blk, cc, fdt):
+    """dout_packed (nc, B*NP*p, p*cc) -> [ dF (B, nc, H_l, W_l*cc) ]."""
+    nc = dout_packed.shape[0]
+    batch, np_rois = padded_rois.shape[:2]
+    nblocks = np_rois // r_blk
+    s = sampling_ratio
+    k = pooled * s
+    h_max = max(h for h, _, _ in level_shapes)
+    w_max = max(w for _, w, _ in level_shapes)
+
+    flat_rois = padded_rois.reshape(batch * np_rois, 4)
+    flat_lv = slot_levels.reshape(batch * np_rois)
+    hs = jnp.asarray([h for h, _, _ in level_shapes])[flat_lv]
+    ws = jnp.asarray([w for _, w, _ in level_shapes])[flat_lv]
+    scale = (1.0 / jnp.asarray([st for _, _, st in level_shapes],
+                               jnp.float32))[flat_lv]
+    r = flat_rois * scale[:, None]
+    x1, y1 = r[:, 0], r[:, 1]
+    roi_w = jnp.maximum(r[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(r[:, 3] - y1, 1.0)
+    idx = jnp.arange(k, dtype=jnp.float32)
+    grid = jnp.floor(idx / s) + ((idx % s) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / pooled)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / pooled)[:, None]
+    wy2 = _binned_interp_weights(ys, hs, h_max, pooled, s).reshape(
+        batch * np_rois * pooled, h_max).astype(jnp.dtype(fdt))
+    wx2 = _binned_interp_weights(xs, ws, w_max, pooled, s).reshape(
+        batch * np_rois * pooled, w_max).astype(jnp.dtype(fdt))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, nc, nblocks),
+        in_specs=[
+            pl.BlockSpec((r_blk * pooled, h_max),
+                         lambda i, c, b, *_, nb=nblocks: (i * nb + b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk * pooled, w_max),
+                         lambda i, c, b, *_, nb=nblocks: (i * nb + b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_blk * pooled, pooled * cc),
+                         lambda i, c, b, *_, nb=nblocks: (c, i * nb + b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, h, w * cc), lambda i, c, b, *_: (i, c, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (h, w, _) in level_shapes
+        ],
+    )
+
+    def kernel(blklv_smem, wy_ref, wx_ref, dout_ref, *dfeat_refs):
+        i = pl.program_id(0)
+        b = pl.program_id(2)
+        lv = blklv_smem[i * nblocks + b]
+        rp = r_blk * pooled
+
+        @pl.when(b == 0)
+        def _zero():
+            for ref, (h, w, _) in zip(dfeat_refs, level_shapes):
+                ref[...] = jnp.zeros((1, 1, h, w * cc), jnp.float32)
+
+        wy_blk = wy_ref[...]
+        wx_blk = wx_ref[...]
+        dout_blk = dout_ref[0]                               # (rp, p*cc)
+
+        def level_branch(lvl):
+            h, w, _ = level_shapes[lvl]
+            ref = dfeat_refs[lvl]
+
+            def body():
+                wxs = wx_blk[:, :w]
+                tiled = jnp.concatenate([wxs] * r_blk, axis=1)
+                qi = jax.lax.broadcasted_iota(jnp.int32, (rp, r_blk * w), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (rp, r_blk * w), 1)
+                wx_bd = jnp.where(ci // w == qi // pooled, tiled, 0.0)
+                # d stage1_t (R*W, p*cc) = Wx_bd^T @ dOut
+                dst1_t = jnp.dot(wx_bd.T, dout_blk,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                dst1_t = dst1_t.astype(wy_blk.dtype)
+                # untranspose: rows r*W.. (w, p*cc) -> (p, w*cc)
+                rows = []
+                for rr in range(r_blk):
+                    d_r = dst1_t[rr * w:(rr + 1) * w, :]
+                    d_r = d_r.reshape(w, pooled, cc)
+                    rows.append(jnp.swapaxes(d_r, 0, 1).reshape(
+                        pooled, w * cc))
+                dstage1 = jnp.concatenate(rows)              # (rp, W*cc)
+                contrib = jnp.dot(wy_blk[:, :h].T, dstage1,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+                ref[0, 0] += contrib                         # (H, W*cc)
+
+            return body
+
+        jax.lax.switch(lv, [level_branch(l)
+                            for l in range(len(level_shapes))])
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, nc, h, w * cc), jnp.float32)
+            for (h, w, _) in level_shapes
+        ],
+    )(block_levels, wy2, wx2, dout_packed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _tiled_batched_diff(features_ch, padded_rois, slot_lv, block_levels,
+                        level_shapes, pooled, sampling_ratio, r_blk, cc):
+    return _pallas_roi_align_tiled_batched(
+        tuple(features_ch), padded_rois, slot_lv, block_levels, level_shapes,
+        pooled, sampling_ratio, r_blk, cc)
+
+
+def _tiled_batched_diff_fwd(features_ch, padded_rois, slot_lv, block_levels,
+                            level_shapes, pooled, sampling_ratio, r_blk, cc):
+    out = _tiled_batched_diff(features_ch, padded_rois, slot_lv, block_levels,
+                              level_shapes, pooled, sampling_ratio, r_blk, cc)
+    # zero-size marker array carries the features' dtype into the backward
+    dtype_marker = jnp.zeros((0,), features_ch[0].dtype)
+    return out, (padded_rois, slot_lv, block_levels, dtype_marker)
+
+
+def _tiled_batched_diff_bwd(level_shapes, pooled, sampling_ratio, r_blk, cc,
+                            residuals, g):
+    padded_rois, slot_lv, block_levels, dtype_marker = residuals
+    fdt = dtype_marker.dtype
+    batch, np_rois = padded_rois.shape[:2]
+    nc = g.shape[-1] // cc
+    # (B, NP, p, p, C) -> (nc, B*NP*p, p*cc): inverse of the fwd unpack
+    gp = g.reshape(batch, np_rois, pooled, pooled, nc, cc)
+    gp = jnp.transpose(gp, (4, 0, 1, 2, 3, 5))
+    gp = gp.reshape(nc, batch * np_rois * pooled, pooled * cc)
+    dfeats = _pallas_roi_align_tiled_batched_bwd(
+        gp, padded_rois, slot_lv, block_levels, level_shapes, pooled,
+        sampling_ratio, r_blk, cc, str(jnp.dtype(fdt)))
+    dfeats = [df.astype(fdt) for df in dfeats]
+    return (dfeats, None, None, None)
+
+
+_tiled_batched_diff.defvjp(_tiled_batched_diff_fwd, _tiled_batched_diff_bwd)

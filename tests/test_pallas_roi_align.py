@@ -89,3 +89,38 @@ def test_batched_tiled_roi_align_matches_vmapped_gather():
         pra.pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_batched_roi_align_vjp_matches_gather():
+    """Feature gradients through the custom-VJP batched kernel == the
+    differentiable gather path (training-step usage)."""
+    import jax
+    rng = np.random.RandomState(3)
+    B = 2
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.rand(B, 8, h, w).astype(np.float32))
+             for h, w in shapes]
+    rois = jnp.asarray(np.stack([_random_rois(rng, 12) for _ in range(B)]))
+    levels = jax.vmap(assign_levels)(rois)
+    cot = jnp.asarray(rng.rand(B, 12, 8, 7, 7).astype(np.float32))
+
+    def loss_gather(feats):
+        out = jax.vmap(lambda *a: multilevel_roi_align(
+            list(a[:4]), a[4], a[5], ROI_STRIDES))(*feats, rois, levels)
+        return jnp.sum(out * cot)
+
+    def loss_pallas(feats):
+        out = pra.roi_align_pallas_batched(feats, rois, levels, ROI_STRIDES,
+                                           channel_chunk=4)
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(loss_gather)(feats)
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        g_got = jax.grad(loss_pallas)(feats)
+    finally:
+        pra.pl.pallas_call = orig
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
