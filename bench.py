@@ -40,7 +40,10 @@ PIPELINE_DEPTH = 2
 # real served data: an ingest cache + trained checkpoint from a scaled run
 # (scripts/containment_run.py); falls back to synthetic tensors of identical
 # shape when absent (shapes are static — throughput is data-independent)
-BENCH_DATA = Path(os.environ.get("BENCH_DATA", "/root/data/sim2k"))
+_CANDIDATES = [Path(p) for p in (os.environ.get("BENCH_DATA"),
+                                 "/root/data/sim4k", "/root/data/sim2k") if p]
+BENCH_DATA = next((p for p in _CANDIDATES
+                   if (p / "checkpoints" / "opnet").exists()), _CANDIDATES[-1])
 
 
 def _load_real(spec, init_params):
