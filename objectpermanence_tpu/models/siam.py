@@ -201,6 +201,7 @@ def get_subwindow(im: np.ndarray, pos, original_sz: int, model_sz: int,
     (reference `utils.py:47-90`)."""
     import cv2
 
+    original_sz = max(int(original_sz), 2)  # degenerate-crop guard
     c = (original_sz + 1) / 2
     context_xmin = round(pos[0] - c)
     context_xmax = context_xmin + original_sz - 1
@@ -314,7 +315,10 @@ class SiamRPNTracker:
 
     def init(self, im: np.ndarray, target_pos, target_sz) -> SiamState:
         target_pos = np.asarray(target_pos, np.float64)
-        target_sz = np.asarray(target_sz, np.float64)
+        # degenerate-size guard: an edge-clipped detection can hand over a
+        # zero-width/-height box, which would make the exemplar crop empty
+        # (the reference crashes in cv2.resize there)
+        target_sz = np.maximum(np.asarray(target_sz, np.float64), 2.0)
         instance_size = self.cfg["instance_size"]
         if self.cfg.get("adaptive"):
             area_ratio = (target_sz[0] * target_sz[1]) / float(im.shape[0] * im.shape[1])
