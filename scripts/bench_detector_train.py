@@ -1,0 +1,85 @@
+"""Detector train-step throughput: pallas RoIAlign (custom VJP) vs gather.
+
+    python scripts/bench_detector_train.py [--batch 8] [--iters 20]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from objectpermanence_tpu.models.detector import anchors as anchor_lib
+    from objectpermanence_tpu.models.detector.detector import (
+        DetectorConfig, detector_init,
+    )
+    from objectpermanence_tpu.models.detector.training import (
+        make_detector_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (args.batch, 240, 320, 3),
+                                     dtype=np.uint8))
+    gt_boxes = np.zeros((args.batch, 20, 4), np.float32)
+    gt_labels = np.zeros((args.batch, 20), np.int32)
+    gt_valid = np.zeros((args.batch, 20), bool)
+    for i in range(args.batch):
+        for g in range(6):
+            x, y = rng.randint(5, 260), rng.randint(5, 190)
+            gt_boxes[i, g] = [x, y, x + 40, y + 40]
+            gt_labels[i, g] = rng.randint(1, 193)
+            gt_valid[i, g] = True
+    gt_boxes, gt_labels, gt_valid = map(jnp.asarray,
+                                        (gt_boxes, gt_labels, gt_valid))
+
+    def sync(tree):
+        leaf = jax.tree.leaves(tree)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+    for backend in ("gather", "pallas"):
+        config = DetectorConfig(min_size=240, max_size=320,
+                                rpn_pre_nms_top_n=500, rpn_post_nms_top_n=300,
+                                roi_backend=backend)
+        anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
+            config.feature_shapes(), config.strides, config.anchor_sizes)]
+        params = detector_init(jax.random.PRNGKey(0), config)
+        optimizer = optax.sgd(1e-3, momentum=0.9)
+        opt_state = optimizer.init(params)
+        step = make_detector_train_step(config, anchors, optimizer)
+        key = jax.random.PRNGKey(1)
+
+        params, opt_state, parts = step(params, opt_state, images, gt_boxes,
+                                        gt_labels, gt_valid, key)
+        sync(parts)
+        for _ in range(3):
+            params, opt_state, parts = step(params, opt_state, images,
+                                            gt_boxes, gt_labels, gt_valid, key)
+        sync(parts)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                params, opt_state, parts = step(params, opt_state, images,
+                                                gt_boxes, gt_labels, gt_valid,
+                                                key)
+            sync(parts)
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        print(f"{backend}: {best*1000:.1f} ms/step "
+              f"({args.batch / best:.1f} imgs/s), loss={float(parts['loss']):.4f}")
+
+
+if __name__ == "__main__":
+    main()
