@@ -58,13 +58,18 @@ def _load_real(spec, init_params):
                         key=lambda p: p.stat().st_size, reverse=True)
         if best is None or not caches:
             return None
-        boxes = np.load(caches[0])["boxes"].astype(np.float32)
-        if boxes.shape[1] < NUM_FRAMES or boxes.shape[2:] != (15, 6):
+        boxes = None
+        for cache in caches:  # largest cache with OPNet's 6-track features
+            arr = np.load(cache)["boxes"].astype(np.float32)
+            if arr.shape[1] >= NUM_FRAMES and arr.shape[2:] == (15, 6):
+                boxes = arr
+                break
+        if boxes is None:
             return None
         reps = -(-BATCH_VIDEOS // boxes.shape[0])
         boxes = np.tile(boxes[:, :NUM_FRAMES], (reps, 1, 1, 1))[:BATCH_VIDEOS]
         params = restore_params(best, init_params)
-        print(f"bench data: {caches[0].name} + {best.name} "
+        print(f"bench data: {cache.name} + {best.name} "
               f"({boxes.shape[0]} videos)", file=sys.stderr)
         return params, boxes
     except Exception as exc:  # pragma: no cover - best-effort real-data path
