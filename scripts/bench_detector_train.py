@@ -56,7 +56,10 @@ def main():
         anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
             config.feature_shapes(), config.strides, config.anchor_sizes)]
         params = detector_init(jax.random.PRNGKey(0), config)
-        optimizer = optax.sgd(1e-3, momentum=0.9)
+        # the real loop's stabilizers (clip + tiny warmup lr): repeated steps
+        # on one batch with random-init frozen-BN otherwise blow up to NaN
+        optimizer = optax.chain(optax.clip_by_global_norm(10.0),
+                                optax.sgd(5e-6, momentum=0.9))
         opt_state = optimizer.init(params)
         step = make_detector_train_step(config, anchors, optimizer)
         key = jax.random.PRNGKey(1)
