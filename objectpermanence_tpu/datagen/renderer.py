@@ -92,10 +92,16 @@ def render_video(scene: dict, gt_bb: dict, num_frames: int) -> Tuple[np.ndarray,
 
 def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
                    detection_samples_per_video: int = 4,
-                   seed: int = 0) -> Tuple[Path, Path, Path]:
+                   seed: int = 0, progress_every: int = 0) -> Tuple[Path, Path, Path]:
     """Render every simulated scene to an .avi (+1 spare frame for the cv2
     extra-frame convention) and emit a detection training set (sampled
     frames as PNG + the reference CSV schema).
+
+    Resumable: each finished video leaves `<name>.avi` + a `.rows` sidecar
+    with its CSV rows; both present -> the video is skipped on a re-run.
+    Frame sampling is seeded per-video (seed ^ hash(name)) so resumed and
+    fresh runs produce identical detection sets. The final CSV is rebuilt
+    from the sidecars every call.
     Returns (videos_dir, det_images_dir, det_csv_path)."""
     import json
 
@@ -108,10 +114,13 @@ def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
     videos_dir.mkdir(parents=True, exist_ok=True)
     det_dir.mkdir(parents=True, exist_ok=True)
 
-    rng = np.random.RandomState(seed)
-    csv_rows = []
-    for scene_path in sorted(scenes_dir.glob("*.json")):
+    scene_paths = sorted(scenes_dir.glob("*.json"))
+    for i, scene_path in enumerate(scene_paths):
         name = scene_path.stem
+        avi_path = videos_dir / f"{name}.avi"
+        rows_path = det_dir / f"{name}.rows"
+        if avi_path.exists() and rows_path.exists():
+            continue
         with open(scene_path) as f:
             scene = json.load(f)
         with open(labels_dir / f"{name}_bb.json") as f:
@@ -119,15 +128,21 @@ def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
         num_frames = len(next(iter(gt_bb.values())))
         frames, annotations = render_video(scene, gt_bb, num_frames)
 
-        writer = cv2.VideoWriter(str(videos_dir / f"{name}.avi"),
+        tmp_path = videos_dir / f"{name}.avi.tmp.avi"  # keep .avi suffix for cv2
+        writer = cv2.VideoWriter(str(tmp_path),
                                  cv2.VideoWriter_fourcc(*"MJPG"), fps,
                                  (FRAME_WIDTH, FRAME_HEIGHT))
         for f in range(num_frames):
             writer.write(cv2.cvtColor(frames[f], cv2.COLOR_RGB2BGR))
         writer.write(cv2.cvtColor(frames[-1], cv2.COLOR_RGB2BGR))  # spare frame
         writer.release()
+        tmp_path.rename(avi_path)
 
-        for f in rng.choice(num_frames, detection_samples_per_video, replace=False):
+        rng = np.random.RandomState(
+            (seed * 1000003 + int.from_bytes(name.encode()[-8:], "little")) % (2**31))
+        csv_rows = []
+        k = min(detection_samples_per_video, num_frames)
+        for f in rng.choice(num_frames, k, replace=False):
             img_name = f"{name}_f{f:04d}.png"
             cv2.imwrite(str(det_dir / img_name),
                         cv2.cvtColor(frames[f], cv2.COLOR_RGB2BGR))
@@ -135,10 +150,17 @@ def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
             for bb, label in zip(ann["bb"], ann["labels"]):
                 csv_rows.append([img_name, int(label), float(bb[0]), float(bb[1]),
                                  float(bb[2] - bb[0]), float(bb[3] - bb[1])])
+        with open(rows_path, "w", newline="") as f:
+            csv.writer(f).writerows(csv_rows)
+        if progress_every and (i + 1) % progress_every == 0:
+            print(f"[render] {i + 1}/{len(scene_paths)} videos", flush=True)
 
     csv_path = output_root / "detection_annotations.csv"
     with open(csv_path, "w", newline="") as f:
         writer = csv.writer(f)
         writer.writerow(["filename", "object_class", "X", "Y", "width", "height"])
-        writer.writerows(csv_rows)
+        for scene_path in scene_paths:
+            rows_path = det_dir / f"{scene_path.stem}.rows"
+            with open(rows_path, newline="") as rf:
+                writer.writerows(csv.reader(rf))
     return videos_dir, det_dir, csv_path

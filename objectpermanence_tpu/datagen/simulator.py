@@ -495,6 +495,13 @@ def simulate_dataset(root, num_videos: int = 8, seed: int = 0,
     scenes_dir.mkdir(parents=True, exist_ok=True)
     labels_dir.mkdir(parents=True, exist_ok=True)
 
+    # the disjoint-block guarantee below only holds while every video's
+    # attempt range stays inside this split seed's 2^20 block
+    if num_videos * 64 >= 2 ** 20:
+        raise ValueError(
+            f"num_videos={num_videos} overflows the split seed block "
+            f"(num_videos * 64 must stay < 2^20); use multiple splits")
+
     for v in range(num_videos):
         name = f"CATER_sim_{v:06d}"
         for attempt in range(64):

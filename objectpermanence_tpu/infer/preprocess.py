@@ -70,7 +70,7 @@ def preprocess_main(results_dir: str, config: Dict) -> List[str]:
     overrides = {key: config[key] for key in
                  ("min_size", "max_size", "rpn_pre_nms_top_n",
                   "rpn_post_nms_top_n", "detections_per_img", "score_thresh",
-                  "compute_dtype")
+                  "compute_dtype", "backbone_norm")
                  if key in config}
     det_config = DetectorConfig(**overrides) if overrides else None
     detector = CaterDetector.load(config.get("od_model_weights"), det_config)

@@ -20,11 +20,15 @@ from objectpermanence_tpu.ops.boxes import FRAME_SHAPES
 from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_batch
 
 
-def make_predict_step(spec: ModelSpec):
-    """Jit forward -> int32 pixel boxes. On TPU backends the OPNet family
+def make_predict_step(spec: ModelSpec, out_dtype=np.int32):
+    """Jit forward -> integer pixel boxes. On TPU backends the OPNet family
     runs the fully-fused Pallas kernel, and the other models' LSTM
     recurrences use the fused Pallas scan (`ops/pallas_scan.py`); elsewhere
-    (CPU tests, dry runs) the XLA `lax.scan` path compiles everywhere."""
+    (CPU tests, dry runs) the XLA `lax.scan` path compiles everywhere.
+
+    `out_dtype` picks the D2H wire format: int32 matches the reference's
+    output arrays (`inference_main.py:219`); int16 is lossless for 320x240
+    pixel coordinates and halves host-transfer bytes (serving path)."""
     on_tpu = jax.default_backend() == "tpu"
     use_fused_opnet = on_tpu and spec.name.startswith("opnet") and "mlp" not in spec.name
 
@@ -39,8 +43,8 @@ def make_predict_step(spec: ModelSpec):
         else:
             with lstm_ops.fused_scan(on_tpu):
                 out = spec.apply(params, boxes)
-        # denormalize to int32 pixels on device (`inference_main.py:219`)
-        return (out * FRAME_SHAPES).astype(np.int32)
+        # denormalize to integer pixels on device (`inference_main.py:219`)
+        return (out * FRAME_SHAPES).astype(out_dtype)
 
     return predict_step
 

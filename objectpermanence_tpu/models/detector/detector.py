@@ -59,8 +59,11 @@ class DetectorConfig:
     # TPU-native speed path (params remain fp32 masters).
     compute_dtype: str = "float32"
     # RoIAlign backend: "auto" uses the whole-batch roi-tiled Pallas kernel
-    # (ops/pallas_roi_align.py, ~5x the XLA gather) when on TPU and the
-    # pyramid fits VMEM, else the gather path; "gather"/"pallas" force one.
+    # (ops/pallas_roi_align.py, ~5x the XLA gather) when on TPU, the
+    # pyramid fits VMEM, and execution is single-device, else the gather
+    # path; "gather"/"pallas" force one. Under a multi-device mesh "auto"
+    # always picks gather — pallas_call has no partitioning rule, so GSPMD
+    # would replicate the whole-batch kernel per device.
     roi_backend: str = "auto"
 
     @property
@@ -136,11 +139,17 @@ def propose(params, pyramid, config: DetectorConfig, anchor_arrays):
     return proposals, scores
 
 
-def _use_pallas_roi(config: DetectorConfig) -> bool:
+def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False) -> bool:
     if config.roi_backend == "gather":
         return False
     if config.roi_backend == "pallas":
         return True
+    if under_mesh:
+        # pallas_call has no GSPMD partitioning rule: under a sharded mesh
+        # the whole-batch kernel would be replicated (or fail to compile)
+        # instead of running per-shard — use the gather path, which XLA
+        # partitions cleanly over the batch axis
+        return False
     if jax.default_backend() != "tpu":
         return False
     # Mosaic's minor-dim reshape needs a 128-multiple channel chunk
@@ -154,11 +163,13 @@ def _use_pallas_roi(config: DetectorConfig) -> bool:
 
 
 def batched_roi_align(pyramid, proposals, config: DetectorConfig,
-                      layout: str = "nchw"):
+                      layout: str = "nchw", under_mesh: bool = False):
     """Pyramid levels (NCHW, or NHWC with layout="nhwc") + (B, N, 4) rois
     -> (B, N, C, p, p), dispatching to the whole-batch roi-tiled Pallas
-    kernel or the XLA gather path (identical semantics)."""
-    if _use_pallas_roi(config):
+    kernel or the XLA gather path (identical semantics). Pass
+    `under_mesh=True` when the surrounding jit runs over sharded inputs
+    (see `_use_pallas_roi`)."""
+    if _use_pallas_roi(config, under_mesh):
         from objectpermanence_tpu.ops.pallas_roi_align import (
             roi_align_pallas_batched,
         )

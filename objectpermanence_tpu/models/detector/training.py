@@ -131,7 +131,8 @@ def roi_loss(rng, params, pooled, all_props, all_scores, gt_boxes,
 
 
 def detection_loss(params, images, gt_boxes, gt_labels, gt_valid, rng,
-                   config: DetectorConfig, anchor_arrays):
+                   config: DetectorConfig, anchor_arrays,
+                   under_mesh: bool = False):
     """Total Faster R-CNN loss for a batch (loss-dict sum, as in the
     reference's `train_one_epoch`, `object_detection/engine.py:20-45`)."""
     prepped = preprocess_images(images, config)
@@ -161,7 +162,8 @@ def detection_loss(params, images, gt_boxes, gt_labels, gt_valid, rng,
     all_scores = jnp.concatenate([
         prop_scores, jnp.where(gt_valid, 1.0, NEG_INF)], axis=1)
     pooled = batched_roi_align(
-        pyramid[:4], jax.lax.stop_gradient(all_props), config, layout="nhwc")
+        pyramid[:4], jax.lax.stop_gradient(all_props), config, layout="nhwc",
+        under_mesh=under_mesh)
 
     def per_image(args):
         obj, dts, pooled_i, props, pscores, gtb, gtl, gtv, r = args
@@ -180,12 +182,14 @@ def detection_loss(params, images, gt_boxes, gt_labels, gt_valid, rng,
     return total, parts
 
 
-def make_detector_train_step(config: DetectorConfig, anchor_arrays, optimizer):
+def make_detector_train_step(config: DetectorConfig, anchor_arrays, optimizer,
+                             under_mesh: bool = False):
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, images, gt_boxes, gt_labels, gt_valid, rng):
         def loss_fn(p):
             return detection_loss(p, images, gt_boxes, gt_labels, gt_valid,
-                                  rng, config, anchor_arrays)
+                                  rng, config, anchor_arrays,
+                                  under_mesh=under_mesh)
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

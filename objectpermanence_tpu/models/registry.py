@@ -78,6 +78,9 @@ def init_model(name: str, config: Dict[str, int], seed: int = 0,
     params = spec.init(jax.random.PRNGKey(seed), config)
     if checkpoint_path is not None:
         from objectpermanence_tpu.utils.checkpoint import restore_params
-        params = restore_params(checkpoint_path, params)
+        # device_put once: orbax restores HOST numpy arrays, and feeding
+        # those to a jit re-uploads every parameter on EVERY dispatch (~10 MB
+        # per step — catastrophic over a low-bandwidth host link)
+        params = jax.device_put(restore_params(checkpoint_path, params))
         print(f"Loaded model parameters from {checkpoint_path}")
     return spec, params

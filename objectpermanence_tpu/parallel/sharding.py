@@ -9,6 +9,7 @@ hidden activation shard their input dim, producing a psum into replicated
 outputs. Batch stays on DATA_AXIS throughout.
 """
 
+import warnings
 from typing import Any
 
 import jax
@@ -30,22 +31,30 @@ def _leaf_spec(path: tuple, leaf) -> P:
     return P()
 
 
-def tp_param_shardings(params: Any, mesh: Mesh):
+def tp_param_shardings(params: Any, mesh: Mesh, strict: bool = False):
     """Per-leaf NamedShardings implementing hidden-dim tensor parallelism.
     Leaves whose sharded dim doesn't divide the mesh axis fall back to
-    replication (keeps tiny test shapes valid)."""
+    replication with a warning (keeps tiny test shapes valid); with
+    `strict=True` they raise instead, so a config-size regression cannot
+    silently disable tensor parallelism."""
     model_par = mesh.shape[MODEL_AXIS]
 
     def spec_for(path, leaf):
         spec = _leaf_spec(path, leaf)
         for dim, axis in enumerate(spec):
             if axis is not None and leaf.shape[dim] % model_par != 0:
+                desc = (f"tp: {jax.tree_util.keystr(path)} dim {dim} "
+                        f"({leaf.shape[dim]}) does not divide model axis "
+                        f"({model_par})")
+                if strict:
+                    raise ValueError(desc + "; refusing silent replication")
+                warnings.warn(desc + "; replicating this leaf", stacklevel=2)
                 return NamedSharding(mesh, P())
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_params(params: Any, mesh: Mesh):
-    shardings = tp_param_shardings(params, mesh)
+def shard_params(params: Any, mesh: Mesh, strict: bool = False):
+    shardings = tp_param_shardings(params, mesh, strict=strict)
     return jax.tree.map(jax.device_put, params, shardings)

@@ -90,7 +90,8 @@ def train_detector(train_dataset: DetectionDataset,
         optax.sgd(schedule, momentum=momentum),
     )
     opt_state = optimizer.init(params)
-    train_step = make_detector_train_step(config, anchors, optimizer)
+    train_step = make_detector_train_step(config, anchors, optimizer,
+                                          under_mesh=mesh is not None)
 
     checkpoint_dir = Path(checkpoint_dir)
     rng = jax.random.PRNGKey(seed + 1)

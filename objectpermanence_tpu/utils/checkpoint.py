@@ -31,11 +31,14 @@ def save_params(path, params) -> None:
 
 def restore_params(path, like_params):
     """Restore a parameter pytree saved by `save_params`, using
-    `like_params` for structure/shape/dtype."""
+    `like_params` for structure/shape/dtype. Returns DEVICE arrays: orbax
+    restores host numpy, and feeding host arrays to a jit re-uploads every
+    parameter on every dispatch — ruinous over a low-bandwidth host link
+    (mesh users re-`device_put` with their shardings)."""
     path = _as_abs(path)
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(like_params))
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, abstract)
+        return jax.device_put(ckptr.restore(path, abstract))
 
 
 def save_train_state(path, params, opt_state, metadata: dict) -> None:
@@ -77,9 +80,15 @@ def best_params_checkpoint(checkpoint_dir) -> Optional[Path]:
         except (IndexError, ValueError):
             return None
 
+    def is_params_checkpoint(p: Path) -> bool:
+        # structural check: an orbax StandardCheckpointer tree, not just any
+        # directory with a numeric suffix (e.g. an aborted run's artifacts)
+        return (p / "_METADATA").exists() or (p / "_CHECKPOINT_METADATA").exists()
+
     candidates = [(score(p), p.stat().st_mtime, p)
                   for p in checkpoint_dir.iterdir()
-                  if p.is_dir() and p.name != "resume" and score(p) is not None]
+                  if p.is_dir() and p.name != "resume" and score(p) is not None
+                  and is_params_checkpoint(p)]
     if not candidates:
         return None
     return max(candidates)[2]

@@ -34,6 +34,27 @@ def gen_split(root: Path, split: str, num_videos: int, seed: int,
     split_dir = root / split
     done = split_dir / ".done"
     if done.exists():
+        # version the marker (seed-scheme v2 = disjoint (seed<<20) blocks):
+        # a pre-v2 dataset may contain cross-split duplicate scenes and must
+        # not be silently reused. Markers written before versioning are
+        # verified by re-simulating video 0 and byte-comparing.
+        if done.read_text().strip() != "seed_scheme=v2":
+            import json as _json
+            import tempfile
+            from objectpermanence_tpu.datagen.simulator import simulate_dataset as _sim
+            with tempfile.TemporaryDirectory() as tmp:
+                sdir, _ = _sim(Path(tmp), num_videos=1, seed=seed,
+                               num_frames=num_frames, num_objects=num_objects,
+                               snitch_bias=0.5, require_snitch_containment=True)
+                fresh = _json.loads((sdir / "CATER_sim_000000.json").read_text())
+            on_disk = _json.loads(
+                (split_dir / "scenes" / "CATER_sim_000000.json").read_text())
+            if fresh != on_disk:
+                raise RuntimeError(
+                    f"{split_dir} was generated under the pre-v2 seed scheme "
+                    f"(cross-split scene collisions possible); delete it and "
+                    f"re-run datagen")
+            done.write_text("seed_scheme=v2\n")
         print(f"[datagen] {split}: already complete", flush=True)
         return
     t0 = time.time()
@@ -52,7 +73,7 @@ def gen_split(root: Path, split: str, num_videos: int, seed: int,
     gen.generate_snitch_visible_frames()
     print(f"[datagen] {split}: labels+perception in {time.time()-t0:.0f}s",
           flush=True)
-    done.touch()
+    done.write_text("seed_scheme=v2\n")
 
 
 def train(root: Path, epochs: int, resume: bool) -> None:

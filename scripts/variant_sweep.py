@@ -23,7 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 DEFAULT_MODELS = ("opnet", "opnet_lstm_mlp", "baseline_lstm",
-                  "non_linear_lstm", "transformer_lstm")
+                  "non_linear_lstm", "transformer_lstm",
+                  # visible-frames-only supervision ablation (masked L1 +
+                  # 0.5*consistency, `training_main.py:199-210`)
+                  "opnet_no_labels", "baseline_lstm_no_labels")
 
 MODEL_CONFIGS = {
     # reference configs/*.json
@@ -39,6 +42,8 @@ MODEL_CONFIGS = {
                          "num_attention_layers": 2, "num_lstm_layers": 2,
                          "lstm_hidden_dim": 512},
 }
+for _m in list(MODEL_CONFIGS):
+    MODEL_CONFIGS[_m + "_no_labels"] = MODEL_CONFIGS[_m]
 
 
 def subset(dataset, limit):
@@ -71,7 +76,11 @@ def main() -> None:
 
     root = args.root
     cache = str(root / "cache")
-    rows = []
+    results_path = root / "sweep" / "results.json"
+    # merge with prior invocations (per-model rows keyed by name), so the
+    # table accumulates across partial sweeps
+    rows = (json.loads(results_path.read_text())
+            if results_path.exists() else [])
     for model in args.models:
         spec = get_model_spec(model)
         datasets = {}
@@ -123,6 +132,7 @@ def main() -> None:
             None, None, [0.5, 0.9])
         import pandas as pd
         df = pd.read_csv(csv_path)
+        rows = [r for r in rows if r["model"] != model]
         rows.append({
             "model": model,
             "best_dev_miou": round(result.best_dev_iou, 4),
@@ -135,8 +145,7 @@ def main() -> None:
             "train_seconds": round(train_s),
         })
         print(f"[sweep] {model}: {rows[-1]}", flush=True)
-        (root / "sweep" / "results.json").write_text(
-            json.dumps(rows, indent=2))
+        results_path.write_text(json.dumps(rows, indent=2))
 
     hdr = ["model", "best_dev_miou", "test_overall_iou",
            "test_contained_iou", "test_visible_iou", "test_map_0.5"]
