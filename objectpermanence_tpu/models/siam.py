@@ -410,13 +410,20 @@ class ObjectDetectWithSiamTracker(AbstractReasoner):
 
 
 def build_siam_reasoner(model_weights: str = "") -> ObjectDetectWithSiamTracker:
-    """Factory used by the trackers driver. Loads upstream torch weights
-    when provided, else random init (structure-complete, accuracy requires
-    the upstream `SiamRPNVOT.model` blob)."""
+    """Factory used by the trackers driver. `model_weights` may be the
+    upstream torch blob (`SiamRPNVOT.model`, a .pth/.model state_dict), an
+    orbax checkpoint dir saved by `train/siam_loop.py`, or empty for random
+    init (structure-complete; accuracy requires trained weights)."""
     params = None
     if model_weights:
-        import torch
-        sd = torch.load(model_weights, map_location="cpu")
-        params = convert_torch_state_dict(
-            {k: v.numpy() for k, v in sd.items()})
+        from pathlib import Path
+        if Path(model_weights).is_dir():
+            from objectpermanence_tpu.utils.checkpoint import restore_params
+            params = restore_params(model_weights,
+                                    siam_init(jax.random.PRNGKey(0)))
+        else:
+            import torch
+            sd = torch.load(model_weights, map_location="cpu")
+            params = convert_torch_state_dict(
+                {k: v.numpy() for k, v in sd.items()})
     return ObjectDetectWithSiamTracker(SiamRPNTracker(params))

@@ -81,9 +81,7 @@ def raw_siam_ope(dirs: dict, weights: str) -> dict:
 
     from objectpermanence_tpu.analysis.analyzer import parse_gt_bb_json
     from objectpermanence_tpu.analysis.tracker_eval import evaluate_tracker
-    from objectpermanence_tpu.models.siam import (
-        SiamRPNTracker, convert_torch_state_dict,
-    )
+    from objectpermanence_tpu.models.siam import build_siam_reasoner
 
     sequences = []
     for video_path in sorted(dirs["videos"].glob("*.avi")):
@@ -103,12 +101,8 @@ def raw_siam_ope(dirs: dict, weights: str) -> dict:
                             gt[:, 3] - gt[:, 1]], axis=1)
         sequences.append({"frames": frames, "gt": gt_xywh})
 
-    params = None
-    if weights:
-        import torch
-        sd = torch.load(weights, map_location="cpu")
-        params = convert_torch_state_dict({k: v.numpy() for k, v in sd.items()})
-    tracker = SiamRPNTracker(params)
+    # torch blob, orbax dir (train/siam_loop.py), or random init
+    tracker = build_siam_reasoner(weights).tracker
     result = evaluate_tracker(tracker, sequences)
     result.pop("per_sequence", None)
     return result
@@ -120,7 +114,15 @@ def main() -> None:
     ap.add_argument("--videos", type=int, default=12)
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--weights", type=str, default="",
-                    help="SiamRPN torch weights (.pth); random init if empty")
+                    help="SiamRPN weights: torch .pth or an orbax dir from "
+                         "train/siam_loop.py; random init if empty")
+    ap.add_argument("--existing-src", type=Path, default=None,
+                    help="reuse an existing split dir (scenes/ labels/ "
+                         "od_perception/) instead of building a fixture set")
+    ap.add_argument("--existing-videos", type=Path, default=None,
+                    help="rendered videos dir matching --existing-src")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="with --existing-src: use only the first N videos")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the chip alone)")
     args = ap.parse_args()
@@ -130,8 +132,37 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     args.root.mkdir(parents=True, exist_ok=True)
-    print("[bench] building rendered fixture set...", flush=True)
-    dirs = build_fixture_set(args.root, args.videos, args.frames)
+    if args.existing_src is not None:
+        src, videos = args.existing_src, args.existing_videos
+        if args.limit:
+            # restrict via symlink farms so every driver sees the same subset
+            names = sorted(p.stem for p in videos.glob("*.avi"))[:args.limit]
+            sub = args.root / "subset"
+            for tag, src_dir, patterns in (
+                    ("videos", videos, ["{}.avi"]),
+                    ("labels", src / "labels", ["{}_bb.json"]),
+                    ("od_perception", src / "od_perception",
+                     ["{}.pkl"]),
+                    ("scenes", src / "scenes", ["{}.json"])):
+                d = sub / tag
+                d.mkdir(parents=True, exist_ok=True)
+                for n in names:
+                    for pat in patterns:
+                        f = pat.format(n)
+                        link = d / f
+                        if not link.exists() and (src_dir / f).exists():
+                            link.symlink_to(src_dir / f)
+            dirs = {"scenes": sub / "scenes", "labels": sub / "labels",
+                    "videos": sub / "videos",
+                    "perception": sub / "od_perception"}
+        else:
+            dirs = {"scenes": src / "scenes", "labels": src / "labels",
+                    "videos": videos, "perception": src / "od_perception"}
+        print(f"[bench] using existing set: {len(list(dirs['videos'].glob('*.avi')))} "
+              f"videos", flush=True)
+    else:
+        print("[bench] building rendered fixture set...", flush=True)
+        dirs = build_fixture_set(args.root, args.videos, args.frames)
 
     results = {}
     for model_type in ("detector_heuristic", "detector_tracker"):
