@@ -139,44 +139,56 @@ def propose(params, pyramid, config: DetectorConfig, anchor_arrays):
     return proposals, scores
 
 
-def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False) -> bool:
+def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False,
+                    needs_grad: bool = False) -> str:
+    """Pick the RoIAlign backend: "" (gather), "resident" (whole-batch
+    VMEM-resident tiled kernel) or "windowed" (per-roi DMA windows, for
+    pyramids too large for VMEM — the 800px COCO recipe). The resident
+    kernel carries a custom VJP; the windowed kernel is inference-only, so
+    `needs_grad` (the training loss) never selects it."""
     if config.roi_backend == "gather":
-        return False
-    if config.roi_backend == "pallas":
-        return True
+        return ""
+    if config.roi_backend in ("pallas", "windowed"):
+        return "resident" if config.roi_backend == "pallas" else "windowed"
     if under_mesh:
         # pallas_call has no GSPMD partitioning rule: under a sharded mesh
         # the whole-batch kernel would be replicated (or fail to compile)
         # instead of running per-shard — use the gather path, which XLA
         # partitions cleanly over the batch axis
-        return False
+        return ""
     if jax.default_backend() != "tpu":
-        return False
+        return ""
     # Mosaic's minor-dim reshape needs a 128-multiple channel chunk
     if config.fpn_channels % 128 != 0:
-        return False
+        return ""
     # per-level feature planes of ONE image must fit VMEM alongside the
-    # kernel's working set (true at the native CATER resolution)
+    # kernel's working set (true at the native CATER resolution); larger
+    # pyramids stream per-roi windows instead
     h, w = config.padded_hw
     total = sum(math.ceil(h / s) * math.ceil(w / s) for s in (4, 8, 16, 32))
-    return total * config.fpn_channels * 4 <= 8 * 2**20
+    if total * config.fpn_channels * 4 <= 8 * 2**20:
+        return "resident"
+    return "" if needs_grad else "windowed"
 
 
 def batched_roi_align(pyramid, proposals, config: DetectorConfig,
-                      layout: str = "nchw", under_mesh: bool = False):
+                      layout: str = "nchw", under_mesh: bool = False,
+                      needs_grad: bool = False):
     """Pyramid levels (NCHW, or NHWC with layout="nhwc") + (B, N, 4) rois
     -> (B, N, C, p, p), dispatching to the whole-batch roi-tiled Pallas
     kernel or the XLA gather path (identical semantics). Pass
     `under_mesh=True` when the surrounding jit runs over sharded inputs
     (see `_use_pallas_roi`)."""
-    if _use_pallas_roi(config, under_mesh):
+    backend = _use_pallas_roi(config, under_mesh, needs_grad)
+    if backend:
         from objectpermanence_tpu.ops.pallas_roi_align import (
-            roi_align_pallas_batched,
+            roi_align_pallas_batched, roi_align_pallas_windowed,
         )
         levels = jax.vmap(roi_heads.assign_levels)(proposals)
-        pooled = roi_align_pallas_batched(pyramid, proposals, levels,
-                                          roi_heads.ROI_STRIDES,
-                                          layout=layout)
+        roi_fn = (roi_align_pallas_batched if backend == "resident"
+                  else roi_align_pallas_windowed)
+        pooled = roi_fn(pyramid, proposals, levels, roi_heads.ROI_STRIDES,
+                        layout=layout)
         return pooled.astype(pyramid[0].dtype)
     if layout == "nhwc":
         pyramid = [jnp.moveaxis(p, -1, 1) for p in pyramid]

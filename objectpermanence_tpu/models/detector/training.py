@@ -163,7 +163,7 @@ def detection_loss(params, images, gt_boxes, gt_labels, gt_valid, rng,
         prop_scores, jnp.where(gt_valid, 1.0, NEG_INF)], axis=1)
     pooled = batched_roi_align(
         pyramid[:4], jax.lax.stop_gradient(all_props), config, layout="nhwc",
-        under_mesh=under_mesh)
+        under_mesh=under_mesh, needs_grad=True)
 
     def per_image(args):
         obj, dts, pooled_i, props, pscores, gtb, gtl, gtv, r = args

@@ -737,3 +737,240 @@ def _tiled_batched_diff_bwd(level_shapes, pooled, sampling_ratio, r_blk, cc,
 
 
 _tiled_batched_diff.defvjp(_tiled_batched_diff_fwd, _tiled_batched_diff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-DMA kernel: RoIAlign for pyramids too large for VMEM residency
+# (the reference's 800px COCO recipe -- SURVEY §2.14; at min_size=800 the
+# P2 level alone is ~28 MB/chunk, far over the ~16 MB VMEM).
+#
+# Key observation: an FPN-assigned roi only ever samples a small window of
+# its level (torchvision's canonical assignment puts sqrt-area in
+# [stride*28, stride*56), i.e. a <=30-row/col span at that level, + P5
+# spans up to ~44 at 1333px). So instead of keeping levels resident, each
+# roi DMAs its own (win, win) feature window HBM->VMEM, double-buffered
+# across the rois of a block, and runs the same separable two-matmul
+# interpolation as the resident kernels:
+#
+#     out_r = Wx_r @ T( Wy_r @ F[y0:y0+win, x0:x0+win] )
+#
+# with the (p, win) weight rows built OUTSIDE the kernel relative to each
+# roi's window origin. Levels are zero-padded up to (win, win) so the DMA
+# shape is static. Bandwidth = rois * win^2 * C, independent of image size.
+#
+# Approximation note: a roi whose level-space span exceeds win-2 px (only
+# possible for aspect ratios ~>5:1 under the canonical assignment) has its
+# out-of-window taps dropped (weights are zero there). The resident kernels
+# and the gather path have no such limit -- auto dispatch uses this kernel
+# only when the pyramid cannot be VMEM-resident.
+# ---------------------------------------------------------------------------
+
+
+def _window_interp_weights(coords, sizes, origins, win: int, pooled: int,
+                           s: int):
+    """Window-relative bin-averaged bilinear rows: coords (NP, k) absolute
+    level positions, sizes (NP,) level extent, origins (NP,) window start.
+    -> (NP, pooled, win). Taps landing outside [origin, origin+win) drop."""
+    np_rois = coords.shape[0]
+    k = pooled * s
+    sz = sizes[:, None].astype(jnp.float32)
+    inside = jnp.logical_and(coords >= -1.0, coords <= sz)
+    c = jnp.clip(coords, 0.0, sz - 1.0)
+    c0 = jnp.floor(c)
+    frac = c - c0
+    c0i = c0.astype(jnp.int32) - origins[:, None]
+    c1i = jnp.minimum(c0.astype(jnp.int32) + 1, sizes[:, None] - 1) - origins[:, None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (np_rois, k, win), 2)
+    w = (jnp.where(cols == c0i[:, :, None], (1.0 - frac)[:, :, None], 0.0) +
+         jnp.where(cols == c1i[:, :, None], frac[:, :, None], 0.0))
+    w = jnp.where(inside[:, :, None], w, 0.0)
+    return w.reshape(np_rois, pooled, s, win).mean(axis=2)
+
+
+def _make_windowed_kernel(num_levels: int, cc: int, pooled: int, r_blk: int,
+                          win: int):
+    def kernel(info_smem, *refs):
+        feat_refs = refs[:num_levels]
+        wy_ref, wx_ref, out_ref, buf, sems = refs[num_levels:]
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        base = b * r_blk
+
+        def transfer(r, slot):
+            """(Re)create the async copy handle for roi slot r."""
+            img = info_smem[base + r, 0]
+            lv = info_smem[base + r, 1]
+            y0 = info_smem[base + r, 2]
+            x0 = info_smem[base + r, 3]
+            copies = [
+                pltpu.make_async_copy(
+                    ref.at[img, c, pl.ds(y0, win), pl.ds(x0 * cc, win * cc)],
+                    buf.at[slot], sems.at[slot])
+                for ref in feat_refs
+            ]
+            return lv, copies
+
+        def start(r, slot):
+            lv, copies = transfer(r, slot)
+            for lvl, copy in enumerate(copies):
+                @pl.when(lv == lvl)
+                def _():
+                    copy.start()
+
+        def wait(r, slot):
+            lv, copies = transfer(r, slot)
+            for lvl, copy in enumerate(copies):
+                @pl.when(lv == lvl)
+                def _():
+                    copy.wait()
+
+        start(0, 0)
+        for r in range(r_blk):
+            if r + 1 < r_blk:
+                start(r + 1, (r + 1) % 2)
+            wait(r, r % 2)
+            feat = buf[r % 2]                                 # (win, win*cc)
+            wy_r = wy_ref[r * pooled:(r + 1) * pooled, :]     # (p, win)
+            wx_r = wx_ref[r * pooled:(r + 1) * pooled, :]
+            s1 = jnp.dot(wy_r, feat, preferred_element_type=jnp.float32)
+            s1 = s1.reshape(pooled, win, cc)
+            s1t = jnp.swapaxes(s1, 0, 1).reshape(win, pooled * cc)
+            out_ref[0, r * pooled:(r + 1) * pooled, :] = jnp.dot(
+                wx_r.astype(jnp.float32), s1t,
+                preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels", "pooled", "cc",
+                                             "r_blk", "win"))
+def _pallas_roi_align_windowed(features_ch, info, wy2, wx2, num_levels,
+                               pooled, cc, r_blk, win):
+    """features_ch: [ (B, nc, Hp_l, Wp_l*cc) ] (padded to >= win);
+    info (NPtot, 4) int32 [img, level, y0, x0]; wy2/wx2 (NPtot*p, win).
+    -> (nc, NPtot*p, p*cc)."""
+    np_tot = info.shape[0]
+    nblocks = np_tot // r_blk
+    nc = features_ch[0].shape[1]
+    fdt = features_ch[0].dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                     # info
+        grid=(nc, nblocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY)      # stays in HBM; manual DMA
+            for _ in range(num_levels)
+        ] + [
+            pl.BlockSpec((r_blk * pooled, win), lambda c, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk * pooled, win), lambda c, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_blk * pooled, pooled * cc),
+                               lambda c, b, *_: (c, b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, win * cc), fdt),   # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = _make_windowed_kernel(num_levels, cc, pooled, r_blk, win)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc, np_tot * pooled, pooled * cc),
+                                       jnp.float32),
+    )(info, *features_ch, wy2.astype(fdt), wx2.astype(fdt))
+
+
+def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
+                              levels: jax.Array, strides: Sequence[int],
+                              pooled: int = 7, sampling_ratio: int = 2,
+                              channel_chunk: int = 128, r_blk: int = 16,
+                              win: int = 48, layout: str = "nchw") -> jax.Array:
+    """Whole-batch windowed-DMA RoIAlign for arbitrarily large pyramids.
+    Same API/semantics as `roi_align_pallas_batched` (see the
+    approximation note above for >~5:1 aspect rois).
+    features: [ (B, C, H_l, W_l) ] or [ (B, H_l, W_l, C) ] (layout="nhwc");
+    rois (B, N, 4); levels (B, N) -> (B, N, C, pooled, pooled)."""
+    batch, n = rois.shape[:2]
+    c = int(features[0].shape[1] if layout == "nchw" else features[0].shape[3])
+    num_levels = len(features)
+    cc = channel_chunk if c % channel_chunk == 0 else c
+    nc = c // cc
+    s = sampling_ratio
+    k = pooled * s
+
+    if layout == "nchw":
+        level_shapes = tuple(
+            (int(f.shape[2]), int(f.shape[3]), float(stride))
+            for f, stride in zip(features, strides))
+        features = [jnp.moveaxis(f, 1, -1) for f in features]
+    else:
+        level_shapes = tuple(
+            (int(f.shape[1]), int(f.shape[2]), float(stride))
+            for f, stride in zip(features, strides))
+    # (B, H, W, C) -> (B, nc, Hp, Wp*cc), zero-padded up to the window size
+    features_ch = []
+    for f in features:
+        hp = max(int(f.shape[1]), win)
+        wp = max(int(f.shape[2]), win)
+        f = jnp.pad(f, ((0, 0), (0, hp - f.shape[1]), (0, wp - f.shape[2]),
+                        (0, 0)))
+        features_ch.append(
+            f.reshape(batch, hp, wp, nc, cc).transpose(0, 3, 1, 2, 4)
+             .reshape(batch, nc, hp, wp * cc))
+
+    levels = levels.astype(jnp.int32)
+    nblocks = -(-n // r_blk) + num_levels
+    np_rois = nblocks * r_blk
+
+    pack = jax.vmap(functools.partial(
+        _pack_rois_by_level, num_levels=num_levels, r_blk=r_blk,
+        np_rois=np_rois))
+    padded_rois, slot_lv, _block_levels, dst_of_orig = pack(rois, levels)
+
+    flat_rois = padded_rois.reshape(batch * np_rois, 4)
+    flat_lv = slot_lv.reshape(batch * np_rois)
+    hs = jnp.asarray([h for h, _, _ in level_shapes])[flat_lv]
+    ws = jnp.asarray([w for _, w, _ in level_shapes])[flat_lv]
+    hps = jnp.asarray([max(h, win) for h, _, _ in level_shapes])[flat_lv]
+    wps = jnp.asarray([max(w, win) for _, w, _ in level_shapes])[flat_lv]
+    scale = (1.0 / jnp.asarray([st for _, _, st in level_shapes],
+                               jnp.float32))[flat_lv]
+    r = flat_rois * scale[:, None]
+    x1, y1 = r[:, 0], r[:, 1]
+    roi_w = jnp.maximum(r[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(r[:, 3] - y1, 1.0)
+    idx = jnp.arange(k, dtype=jnp.float32)
+    grid = jnp.floor(idx / s) + ((idx % s) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / pooled)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / pooled)[:, None]
+
+    # window origins: start one tap before the first sample, clamped so the
+    # static-shape window stays inside the (padded) level
+    y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(hps - win, 0))
+    x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(wps - win, 0))
+
+    wy = _window_interp_weights(ys, hs, y0, win, pooled, s)
+    wx = _window_interp_weights(xs, ws, x0, win, pooled, s)
+    wy2 = wy.reshape(batch * np_rois * pooled, win)
+    wx2 = wx.reshape(batch * np_rois * pooled, win)
+
+    img = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), np_rois)
+    info = jnp.stack([img, flat_lv, y0, x0], axis=-1)
+
+    out = _pallas_roi_align_windowed(
+        features_ch, jax.lax.stop_gradient(info),
+        jax.lax.stop_gradient(wy2), jax.lax.stop_gradient(wx2),
+        num_levels, pooled, cc, r_blk, win)
+
+    # (nc, B*NP*p, p*cc) -> (B, NP, p_x, p_y, C), then unpack roi slots
+    out = out.reshape(nc, batch, np_rois, pooled, pooled, cc)
+    out = jnp.transpose(out, (1, 2, 3, 4, 0, 5))
+    out = out.reshape(batch, np_rois, pooled, pooled, nc * cc)
+    out = jnp.take_along_axis(
+        out, dst_of_orig[:, :, None, None, None], axis=1)
+    return jnp.transpose(out, (0, 1, 4, 3, 2))

@@ -52,7 +52,13 @@ def main() -> None:
     ap.add_argument("--checkpoints-root", type=Path, default=None,
                     help="default: <root>/sweep/<model> (full-data sweep)")
     ap.add_argument("--tag", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the chip alone)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from objectpermanence_tpu.infer.cater_setup import cater_setup_inference
     from objectpermanence_tpu.utils.checkpoint import best_params_checkpoint

@@ -124,3 +124,75 @@ def test_batched_roi_align_vjp_matches_gather():
     for a, b in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_roi_align_matches_gather():
+    """Windowed-DMA kernel (large-pyramid path) == gather path for
+    canonically-assigned rois, both layouts."""
+    import jax
+    rng = np.random.RandomState(7)
+    B = 2
+    shapes = [(60, 68), (30, 34), (15, 17), (8, 9)]
+    feats = [jnp.asarray(rng.rand(B, 8, h, w).astype(np.float32))
+             for h, w in shapes]
+    rois = []
+    for _ in range(B):
+        img_rois = []
+        for size in (20, 80, 200, 420):
+            for _ in range(3):
+                x1, y1 = rng.uniform(0, 100), rng.uniform(0, 80)
+                img_rois.append([x1, y1, x1 + size, y1 + size])
+        rois.append(img_rois)
+    rois = jnp.asarray(np.array(rois, np.float32))
+    levels = jax.vmap(assign_levels)(rois)
+
+    ref = jax.vmap(lambda *a: multilevel_roi_align(
+        list(a[:4]), a[4], a[5], ROI_STRIDES))(*feats, rois, levels)
+
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas_windowed(feats, rois, levels, ROI_STRIDES,
+                                            channel_chunk=4, r_blk=4, win=32)
+        feats_nhwc = [jnp.moveaxis(f, 1, -1) for f in feats]
+        got_nhwc = pra.roi_align_pallas_windowed(
+            feats_nhwc, rois, levels, ROI_STRIDES, channel_chunk=4,
+            r_blk=4, win=32, layout="nhwc")
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_nhwc), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_roi_align_800px_shapes():
+    """The actual large-pyramid use case: 800px-recipe level shapes (P2
+    alone would be ~28 MB/chunk on-chip), small channel count for the
+    interpret-mode oracle."""
+    import jax
+    rng = np.random.RandomState(8)
+    B = 1
+    shapes = [(200, 272), (100, 136), (50, 68), (25, 34)]
+    feats = [jnp.asarray(rng.rand(B, 4, h, w).astype(np.float32))
+             for h, w in shapes]
+    rois = []
+    for size in (30, 100, 300, 700):
+        for _ in range(4):
+            x1, y1 = rng.uniform(0, 380), rng.uniform(0, 280)
+            rois.append([x1, y1, x1 + size, y1 + size])
+    rois = jnp.asarray(np.array(rois, np.float32))[None]
+    levels = jax.vmap(assign_levels)(rois)
+
+    ref = jax.vmap(lambda *a: multilevel_roi_align(
+        list(a[:4]), a[4], a[5], ROI_STRIDES))(*feats, rois, levels)
+
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas_windowed(feats, rois, levels, ROI_STRIDES,
+                                            channel_chunk=4, r_blk=8, win=48)
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
