@@ -101,6 +101,7 @@ def train_detector(train_dataset: DetectionDataset,
 
     for epoch in range(num_epochs):
         losses = []
+        pending = []      # device-side losses; fetched at print boundaries
         for it, batch in enumerate(train_dataset.batches(
                 batch_size, shuffle=True, seed=seed + epoch)):
             rng, sub = jax.random.split(rng)
@@ -112,22 +113,32 @@ def train_detector(train_dataset: DetectionDataset,
                 params, opt_state, jnp.asarray(arrays["images"]),
                 jnp.asarray(arrays["gt_boxes"]), jnp.asarray(arrays["gt_labels"]),
                 jnp.asarray(arrays["gt_valid"]), sub)
-            loss = float(parts["loss"])
-            if not np.isfinite(loss):
-                raise RuntimeError(f"Loss is {loss}, stopping training "
-                                   f"(parts: {jax.tree.map(float, parts)})")
-            losses.append(loss)
+            # keep the loss on device: a float() here would sync every step
+            # and serialize the host->device input stream against compute
+            # (the NaN abort fires at print boundaries instead)
+            pending.append(parts["loss"])
             if (it + 1) % print_step == 0:
+                fetched = [float(l) for l in pending]
+                pending = []
+                if not np.all(np.isfinite(fetched)):
+                    raise RuntimeError(
+                        f"Loss is {fetched}, stopping training")
+                losses.extend(fetched)
                 print(f"Epoch {epoch + 1} iter {it + 1}: "
                       f"loss {np.mean(losses[-print_step:]):.4f} "
-                      f"({int(time.time() - start)}s)")
+                      f"({int(time.time() - start)}s)", flush=True)
+        fetched = [float(l) for l in pending]
+        if fetched and not np.all(np.isfinite(fetched)):
+            raise RuntimeError(f"Loss is {fetched}, stopping training")
+        losses.extend(fetched)
 
         metrics = {"epoch": epoch + 1, "train_loss": float(np.mean(losses))}
         if eval_dataset is not None:
             detector = CaterDetector(config, params)
             metrics.update(evaluate_detector(detector, eval_dataset))
             print(f"Epoch {epoch + 1}: loss {metrics['train_loss']:.4f} "
-                  f"mAP {metrics.get('mAP', 0):.4f} AP50 {metrics.get('AP50', 0):.4f}")
+                  f"mAP {metrics.get('mAP', 0):.4f} "
+                  f"AP50 {metrics.get('AP50', 0):.4f}", flush=True)
             if metrics["mAP"] > best_map:
                 best_map = metrics["mAP"]
                 ckpt.save_params(checkpoint_dir / f"best_{round(best_map, 3)}", params)

@@ -63,3 +63,21 @@ def test_render_dataset_roundtrip(tmp_path):
     batch = next(ds.batches(2))
     assert batch["images"].shape == (2, 240, 320, 3)
     assert batch["gt_valid"].any()
+
+
+def test_render_dataset_resume_identical(tmp_path):
+    """Interrupt-resume: deleting one video's artifacts and re-running must
+    reproduce the identical CSV (per-video seeded sampling + sidecars)."""
+    scenes_dir, labels_dir = simulate_dataset(tmp_path, num_videos=2, seed=9,
+                                              num_frames=30)
+    out = tmp_path / "render"
+    _, det_dir, csv_path = render_dataset(
+        scenes_dir, labels_dir, out, detection_samples_per_video=3)
+    first = csv_path.read_text()
+
+    name = sorted(scenes_dir.glob("*.json"))[0].stem
+    (out / "videos" / f"{name}.avi").unlink()
+    (det_dir / f"{name}.rows").unlink()
+    _, _, csv_path2 = render_dataset(
+        scenes_dir, labels_dir, out, detection_samples_per_video=3)
+    assert csv_path2.read_text() == first
