@@ -47,7 +47,8 @@ def main():
     ap.add_argument("--max-size", type=int, default=320)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--roi", default="auto", choices=["auto", "gather", "pallas"])
+    ap.add_argument("--roi", default="auto",
+                    choices=["auto", "gather", "pallas", "windowed"])
     args = ap.parse_args()
 
     from objectpermanence_tpu.models.detector import anchors as anchor_lib
