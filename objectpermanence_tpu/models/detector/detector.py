@@ -265,16 +265,23 @@ class CaterDetector:
 
     def detect_video(self, frames: np.ndarray, batch_size: int = 16):
         """All frames of one video, chunked to a fixed batch (last chunk
-        padded so the jit signature never changes)."""
+        padded so the jit signature never changes). All chunks are
+        dispatched before any result is fetched, so host->device streaming
+        of chunk i+1 overlaps the device compute of chunk i (async
+        dispatch) — on low-bandwidth host links the transfer, not the
+        compute, is the bottleneck."""
         num_frames = len(frames)
-        all_out = [[], [], [], []]
+        in_flight = []
         for start in range(0, num_frames, batch_size):
             chunk = frames[start:start + batch_size]
             real = len(chunk)
             if real < batch_size:
                 pad = np.repeat(chunk[-1:], batch_size - real, axis=0)
                 chunk = np.concatenate([chunk, pad])
-            out = self(chunk)
+            in_flight.append(
+                (real, self._jit_forward(self.params, jnp.asarray(chunk))))
+        all_out = [[], [], [], []]
+        for real, out in in_flight:
             for acc, arr in zip(all_out, out):
-                acc.append(arr[:real])
+                acc.append(np.asarray(arr)[:real])
         return tuple(np.concatenate(acc) for acc in all_out)
