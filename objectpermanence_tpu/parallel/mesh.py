@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -35,6 +36,21 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
             f"before the backend initializes.")
     grid = np.asarray(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_pipe_mesh(n_data: Optional[int] = None, n_pipe: int = 2,
+                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, pipe) mesh for pipeline parallelism
+    (`parallel/pipeline.py`)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_pipe
+    used = n_data * n_pipe
+    if len(devices) < used:
+        raise ValueError(f"make_pipe_mesh needs {used} devices, have "
+                         f"{len(devices)}")
+    grid = np.asarray(devices[:used]).reshape(n_data, n_pipe)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
