@@ -65,6 +65,9 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--train-limit", type=int, default=800)
     ap.add_argument("--models", nargs="+", default=list(DEFAULT_MODELS))
+    ap.add_argument("--sweep-dir", default="sweep",
+                    help="results/checkpoints subdir under --root (use a "
+                         "distinct dir per budget, e.g. sweep_160ep_800)")
     args = ap.parse_args()
 
     from objectpermanence_tpu.analysis.offline import analyze_results
@@ -76,7 +79,8 @@ def main() -> None:
 
     root = args.root
     cache = str(root / "cache")
-    results_path = root / "sweep" / "results.json"
+    sweep_root = root / args.sweep_dir
+    results_path = sweep_root / "results.json"
     # merge with prior invocations (per-model rows keyed by name), so the
     # table accumulates across partial sweeps
     rows = (json.loads(results_path.read_text())
@@ -90,7 +94,7 @@ def main() -> None:
                 d / "od_perception", d / "labels", spec.feature_width,
                 d / "annotations" / "containment_annotations.txt", cache)
         train_ds = subset(datasets["train"], args.train_limit)
-        ckpt_dir = root / "sweep" / model
+        ckpt_dir = sweep_root / model
         train_config = {
             "batch_size": 16, "inference_batch_size": 400,
             "num_epochs": args.epochs, "print_step": 1000,
@@ -118,11 +122,11 @@ def main() -> None:
             "labels_dir": str(test_dir / "labels"),
             "model_path": str(best), "cache_dir": cache,
         }
-        results_dir = root / "sweep" / f"results_{model}"
+        results_dir = sweep_root / f"results_{model}"
         reasoning_inference_main(model, str(results_dir), inference_config,
                                  MODEL_CONFIGS[model])
         ann = test_dir / "annotations"
-        csv_path = root / "sweep" / f"analysis_{model}.csv"
+        csv_path = sweep_root / f"analysis_{model}.csv"
         analyze_results(
             str(results_dir), str(test_dir / "labels"), str(csv_path),
             str(ann / "containment_annotations.txt"),
