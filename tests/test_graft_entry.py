@@ -53,4 +53,4 @@ def test_dryrun_multichip_self_provisions_from_one_device():
                           cwd=str(repo), capture_output=True, text=True,
                           timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dp+tp+sp ok" in proc.stdout, proc.stdout
+    assert "dp+tp+sp" in proc.stdout and " ok" in proc.stdout, proc.stdout
