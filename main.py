@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     cater_parser.add_argument("--results_dir", type=str, required=True)
     cater_parser.add_argument("--inference_config", type=str, required=True)
     cater_parser.add_argument("--model_config", type=str, required=False)
+    # the reference's driver is OPNet-only (`cater_setup_inference.py:35`);
+    # any learned variant works here (as in scripts/cater_grid_run.py)
+    cater_parser.add_argument("--model_type", type=str, default="opnet",
+                              choices=TRAINING_SUPPORTED_MODELS)
 
     return parser
 
@@ -126,7 +130,7 @@ def main(argv=None) -> None:
 
     elif mode == "cater_inference":
         from objectpermanence_tpu.infer.cater_setup import cater_setup_inference
-        cater_setup_inference("opnet", args.results_dir,
+        cater_setup_inference(args.model_type, args.results_dir,
                               _load_json(args.inference_config),
                               _load_json(args.model_config))
 

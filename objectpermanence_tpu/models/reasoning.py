@@ -98,6 +98,38 @@ def opnet_lstm_mlp_apply(params: Params, boxes: jax.Array, *, precision=None, **
     return y_boxes, jnp.swapaxes(logits, 1, 2)
 
 
+def opnet_moe_init(key, config: Dict[str, int], dtype=jnp.float32) -> Params:
+    """OPNet with the linear box head replaced by a Switch-style top-1 MoE
+    head (beyond-reference variant; the experts shard over an `expert` mesh
+    axis — `parallel/expert.py`). Config keys `num_experts`/`expert_hidden`
+    are optional (default 4/128) so the standard opnet config works."""
+    from objectpermanence_tpu.parallel.expert import moe_head_init
+
+    feat = 6
+    att_hidden = config["object_to_track_hidden_dim"]
+    att_out = config["object_to_track_pred_dim"]
+    vid_hidden = config["videos_hidden_dim"]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "att_lstm": lstm_init(k1, feat * MAX_OBJECTS_IN_FRAME, att_hidden, dtype),
+        "att_head": _bias_free_linear_init(k2, att_hidden, att_out, dtype),
+        "video_lstm": lstm_init(k3, feat, vid_hidden, dtype),
+        "box_head": moe_head_init(
+            k4, vid_hidden, BB_OUT_DIM,
+            num_experts=config.get("num_experts", 4),
+            expert_hidden=config.get("expert_hidden", 128), dtype=dtype),
+    }
+
+
+def opnet_moe_apply(params: Params, boxes: jax.Array, *, precision=None, **_) -> tuple:
+    from objectpermanence_tpu.parallel.expert import moe_head_apply
+
+    selected, logits = _who_to_attend(params, boxes, precision)
+    hidden = lstm_apply(params["video_lstm"], selected, precision=precision)
+    y_boxes = moe_head_apply(params["box_head"], hidden, precision=precision)
+    return y_boxes, jnp.swapaxes(logits, 1, 2)
+
+
 # ---------------------------------------------------------------------------
 # Baselines (F=5, single output)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ TRAINING_SUPPORTED_MODELS_5_TRACKS = [
 TRAINING_SUPPORTED_MODELS_6_TRACKS = [
     "opnet", "opnet_no_labels",
     "opnet_lstm_mlp", "opnet_lstm_mlp_no_labels",
+    "opnet_moe",  # beyond-reference: MoE box head (parallel/expert.py)
 ]
 
 TRAINING_SUPPORTED_MODELS = TRAINING_SUPPORTED_MODELS_5_TRACKS + TRAINING_SUPPORTED_MODELS_6_TRACKS
@@ -56,6 +57,7 @@ _ARCHS: Dict[str, tuple] = {
     "transformer_lstm": (reasoning.transformer_lstm_init, reasoning.transformer_lstm_apply, 5, False),
     "opnet": (reasoning.opnet_init, reasoning.opnet_apply, 6, True),
     "opnet_lstm_mlp": (reasoning.opnet_lstm_mlp_init, reasoning.opnet_lstm_mlp_apply, 6, True),
+    "opnet_moe": (reasoning.opnet_moe_init, reasoning.opnet_moe_apply, 6, True),
 }
 
 

@@ -53,6 +53,21 @@ def make_pipe_mesh(n_data: Optional[int] = None, n_pipe: int = 2,
     return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
 
 
+def make_expert_mesh(n_data: Optional[int] = None, n_expert: int = 2,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, expert) mesh for expert parallelism
+    (`parallel/expert.py`)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_expert
+    used = n_data * n_expert
+    if len(devices) < used:
+        raise ValueError(f"make_expert_mesh needs {used} devices, have "
+                         f"{len(devices)}")
+    grid = np.asarray(devices[:used]).reshape(n_data, n_expert)
+    return Mesh(grid, (DATA_AXIS, "expert"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -22,6 +22,9 @@ SMALL_CFGS = {
               "videos_hidden_dim": 32},
     "opnet_lstm_mlp": {"object_to_track_pred_dim": 15,
                        "object_to_track_hidden_dim": 16, "videos_hidden_dim": 32},
+    "opnet_moe": {"object_to_track_pred_dim": 15,
+                  "object_to_track_hidden_dim": 16, "videos_hidden_dim": 32,
+                  "num_experts": 4, "expert_hidden": 16},
 }
 
 
