@@ -103,37 +103,69 @@ def _best_detector_ckpt(root: Path) -> Path:
     return best_params_checkpoint(root / "detector")
 
 
-def preprocess(root: Path, batch_size: int) -> None:
+def _preprocess_split_worker(root: Path, split: str, batch_size: int) -> None:
+    """One bounded worker: run the detector over the videos listed in the
+    split's todo file, then EXIT. The axon tunnel client retains a host
+    buffer for every H2D transfer (~60 MB/video; 3,200 videos OOM-killed
+    the round-3 run at 99 GB RSS), so the parent recycles workers instead
+    of looping in-process — the leak is bounded per worker."""
     from objectpermanence_tpu.infer.preprocess import preprocess_main
+
+    best = _best_detector_ckpt(root)
+    cfg = detector_config()
+    t0 = time.time()
+    written = preprocess_main(str(root / split / "od_real"), {
+        "videos_dir": str(root / split / "videos"),
+        "od_model_weights": str(best),
+        "sample_file": str(root / split / "preprocess_todo.txt"),
+        "batch_size": batch_size,
+        "min_size": cfg.min_size, "max_size": cfg.max_size,
+        "rpn_pre_nms_top_n": cfg.rpn_pre_nms_top_n,
+        "rpn_post_nms_top_n": cfg.rpn_post_nms_top_n,
+        "backbone_norm": cfg.backbone_norm,
+    })
+    print(f"[preprocess-worker] {split}: {len(written)} videos "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+
+def preprocess(root: Path, batch_size: int,
+               videos_per_proc: int = 400) -> None:
+    import os
+    import subprocess
+
     from objectpermanence_tpu.vocab import SNITCH_CLASS_INDEX
 
     best = _best_detector_ckpt(root)
     print(f"[preprocess] detector checkpoint: {best}", flush=True)
-    cfg = detector_config()
+    env = dict(os.environ)
+    # persistent compilation cache so recycled workers skip the 3-5 min jit
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(root / "jaxcache"))
     for split in SPLITS:
         videos_dir = root / split / "videos"
         out_dir = root / split / "od_real"
         out_dir.mkdir(parents=True, exist_ok=True)
-        missing = sorted(p.stem for p in videos_dir.glob("*.avi")
-                         if not (out_dir / f"{p.stem}.pkl").exists())
-        if not missing:
-            print(f"[preprocess] {split}: already complete", flush=True)
-            continue
-        sample_file = root / split / "preprocess_todo.txt"
-        sample_file.write_text("".join(f"{n}.avi\n" for n in missing))
-        t0 = time.time()
-        written = preprocess_main(str(out_dir), {
-            "videos_dir": str(videos_dir),
-            "od_model_weights": str(best),
-            "sample_file": str(sample_file),
-            "batch_size": batch_size,
-            "min_size": cfg.min_size, "max_size": cfg.max_size,
-            "rpn_pre_nms_top_n": cfg.rpn_pre_nms_top_n,
-            "rpn_post_nms_top_n": cfg.rpn_post_nms_top_n,
-            "backbone_norm": cfg.backbone_norm,
-        })
-        print(f"[preprocess] {split}: {len(written)} videos "
-              f"({time.time()-t0:.0f}s)", flush=True)
+        while True:
+            missing = sorted(p.stem for p in videos_dir.glob("*.avi")
+                             if not (out_dir / f"{p.stem}.pkl").exists())
+            if not missing:
+                print(f"[preprocess] {split}: complete", flush=True)
+                break
+            todo = missing[:videos_per_proc]
+            (root / split / "preprocess_todo.txt").write_text(
+                "".join(f"{n}.avi\n" for n in todo))
+            proc = subprocess.run(
+                [sys.executable, __file__, "preprocess-worker",
+                 "--root", str(root), "--split", split,
+                 "--preprocess-batch", str(batch_size)],
+                env=env, cwd=str(Path(__file__).resolve().parent.parent))
+            done_now = sum((out_dir / f"{n}.pkl").exists() for n in todo)
+            print(f"[preprocess] {split}: {done_now}/{len(todo)} of slice, "
+                  f"{len(missing) - done_now} to go (worker rc="
+                  f"{proc.returncode})", flush=True)
+            if done_now == 0:
+                raise RuntimeError(
+                    f"preprocess worker made no progress on {split} "
+                    f"(rc={proc.returncode})")
 
     # perception quality stats: how often is the snitch actually detected?
     stats = {}
@@ -220,7 +252,10 @@ def analyze(root: Path, src: Path) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=["render", "dettrain", "preprocess",
-                                      "opnet", "analyze", "all"])
+                                      "preprocess-worker", "opnet", "analyze",
+                                      "all"])
+    ap.add_argument("--split", choices=SPLITS, default=None,
+                    help="(preprocess-worker) which split's todo to run")
     ap.add_argument("--root", type=Path, default=Path("/root/data/twostage"))
     ap.add_argument("--src", type=Path, default=Path("/root/data/sim4k"))
     ap.add_argument("--det-samples", type=int, default=2)
@@ -237,6 +272,8 @@ def main() -> None:
         render(args.src, args.root, args.det_samples)
     if args.stage in ("dettrain", "all"):
         dettrain(args.root, args.det_epochs, args.det_batch, args.det_lr)
+    if args.stage == "preprocess-worker":
+        _preprocess_split_worker(args.root, args.split, args.preprocess_batch)
     if args.stage in ("preprocess", "all"):
         preprocess(args.root, args.preprocess_batch)
     if args.stage in ("opnet", "all"):
