@@ -67,11 +67,14 @@ def preprocess_main(results_dir: str, config: Dict) -> List[str]:
     results_dir.mkdir(parents=True, exist_ok=True)
     batch_size = int(config.get("batch_size", 16))
 
-    overrides = {key: config[key] for key in
-                 ("min_size", "max_size", "rpn_pre_nms_top_n",
-                  "rpn_post_nms_top_n", "detections_per_img", "score_thresh",
-                  "compute_dtype", "backbone_norm")
-                 if key in config}
+    import dataclasses
+
+    # any DetectorConfig field may be overridden (the checkpoint must be
+    # loaded with the SAME architecture it was trained with — e.g. the
+    # two-stage driver's GroupNorm backbone, or a reduced test config)
+    field_names = {f.name for f in dataclasses.fields(DetectorConfig)}
+    overrides = {key: (tuple(v) if isinstance(v := config[key], list) else v)
+                 for key in field_names if key in config}
     det_config = DetectorConfig(**overrides) if overrides else None
     detector = CaterDetector.load(config.get("od_model_weights"), det_config)
 

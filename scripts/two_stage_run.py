@@ -114,15 +114,16 @@ def _preprocess_split_worker(root: Path, split: str, batch_size: int) -> None:
     best = _best_detector_ckpt(root)
     cfg = detector_config()
     t0 = time.time()
+    import dataclasses
+
     written = preprocess_main(str(root / split / "od_real"), {
         "videos_dir": str(root / split / "videos"),
         "od_model_weights": str(best),
         "sample_file": str(root / split / "preprocess_todo.txt"),
         "batch_size": batch_size,
-        "min_size": cfg.min_size, "max_size": cfg.max_size,
-        "rpn_pre_nms_top_n": cfg.rpn_pre_nms_top_n,
-        "rpn_post_nms_top_n": cfg.rpn_post_nms_top_n,
-        "backbone_norm": cfg.backbone_norm,
+        # full architecture config: the checkpoint must be restored with
+        # the SAME DetectorConfig it was trained with
+        **dataclasses.asdict(cfg),
     })
     print(f"[preprocess-worker] {split}: {len(written)} videos "
           f"({time.time()-t0:.0f}s)", flush=True)
