@@ -46,6 +46,21 @@ for _m in list(MODEL_CONFIGS):
     MODEL_CONFIGS[_m + "_no_labels"] = MODEL_CONFIGS[_m]
 
 
+def training_mask_file(spec, split_dir: Path) -> Path:
+    """The dataset 'mask' doubles as the loss mask: for `*_no_labels`
+    models the reference multiplies the L1 loss by a VISIBLE-frames mask
+    ("mask contains only visible objects",
+    `/root/reference/baselines/training_main.py:199-201`), i.e. those
+    experiments feed a visible-frames annotations file where the standard
+    models feed the containment file (used only for the contained-mIoU
+    eval metric). Feeding the containment file to a no_labels model
+    supervises exactly the frames where the snitch is hidden — backwards —
+    and collapses training (observed: dev mIoU 0.06)."""
+    if spec.no_labels:
+        return split_dir / "od_perception" / "visibility_rate_gt_0.99.txt"
+    return split_dir / "annotations" / "containment_annotations.txt"
+
+
 def subset(dataset, limit):
     if limit is None or limit >= len(dataset):
         return dataset
@@ -92,7 +107,7 @@ def main() -> None:
             d = root / split
             datasets[split] = ingest_directory(
                 d / "od_perception", d / "labels", spec.feature_width,
-                d / "annotations" / "containment_annotations.txt", cache)
+                training_mask_file(spec, d), cache)
         train_ds = subset(datasets["train"], args.train_limit)
         ckpt_dir = sweep_root / model
         train_config = {

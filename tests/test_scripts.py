@@ -61,3 +61,18 @@ def test_variant_sweep_subset():
     small = subset(ds, 4)
     assert len(small) == 4 and small.boxes.shape[0] == 4
     assert subset(ds, None) is ds
+
+
+def test_no_labels_training_mask_is_visible_frames(tmp_path):
+    # `*_no_labels` supervision must mask the loss to VISIBLE frames
+    # (reference training_main.py:199-201 "mask contains only visible
+    # objects"); the containment file would supervise exactly the hidden
+    # frames and collapse training.
+    from objectpermanence_tpu.models.registry import get_model_spec
+    from variant_sweep import training_mask_file
+
+    d = tmp_path / "train"
+    assert training_mask_file(get_model_spec("opnet_no_labels"), d) == \
+        d / "od_perception" / "visibility_rate_gt_0.99.txt"
+    assert training_mask_file(get_model_spec("opnet"), d) == \
+        d / "annotations" / "containment_annotations.txt"
