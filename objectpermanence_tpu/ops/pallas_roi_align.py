@@ -21,6 +21,7 @@ outside [-1, size] zeroed, coordinate clamping) to float tolerance.
 """
 
 import functools
+import math
 from typing import List, Sequence
 
 import jax
@@ -788,8 +789,11 @@ def _window_interp_weights(coords, sizes, origins, win: int, pooled: int,
 
 
 def _make_windowed_kernel(num_levels: int, cc: int, pooled: int, r_blk: int,
-                          win: int):
-    def kernel(info_smem, *refs):
+                          win: int, y_quant: int):
+    def kernel(img_smem, lv_smem, y0_smem, x0_smem, *refs):
+        # roi info arrives as four 1-D scalar-prefetch arrays: a single
+        # (NP, 4) SMEM table would be lane-padded to (NP, 128) and overflow
+        # the 1 MB SMEM at detection scale (2,944 rois -> 1.5 MB)
         feat_refs = refs[:num_levels]
         wy_ref, wx_ref, out_ref, buf, sems = refs[num_levels:]
         c = pl.program_id(0)
@@ -798,13 +802,17 @@ def _make_windowed_kernel(num_levels: int, cc: int, pooled: int, r_blk: int,
 
         def transfer(r, slot):
             """(Re)create the async copy handle for roi slot r."""
-            img = info_smem[base + r, 0]
-            lv = info_smem[base + r, 1]
-            y0 = info_smem[base + r, 2]
-            x0 = info_smem[base + r, 3]
+            img = img_smem[base + r]
+            lv = lv_smem[base + r]
+            # dynamic offsets into the tiled (sublane, lane) dims of an HBM
+            # memref must be tile-aligned for Mosaic to lower the DMA slice
+            # (v5e f32 tile (8, 128)); the host aligns the window origins
+            # and the multiple_of hints make that visible to the compiler
+            y0 = pl.multiple_of(y0_smem[base + r], y_quant)
+            x0c = pl.multiple_of(x0_smem[base + r] * cc, 128)
             copies = [
                 pltpu.make_async_copy(
-                    ref.at[img, c, pl.ds(y0, win), pl.ds(x0 * cc, win * cc)],
+                    ref.at[img, c, pl.ds(y0, win), pl.ds(x0c, win * cc)],
                     buf.at[slot], sems.at[slot])
                 for ref in feat_refs
             ]
@@ -832,20 +840,24 @@ def _make_windowed_kernel(num_levels: int, cc: int, pooled: int, r_blk: int,
             feat = buf[r % 2]                                 # (win, win*cc)
             wy_r = wy_ref[r * pooled:(r + 1) * pooled, :]     # (p, win)
             wx_r = wx_ref[r * pooled:(r + 1) * pooled, :]
-            s1 = jnp.dot(wy_r, feat, preferred_element_type=jnp.float32)
+            # HIGHEST: full fp32 MXU passes, matching the resident kernel;
+            # the windowed path is DMA-bound so the extra passes are free
+            s1 = jnp.dot(wy_r, feat, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             s1 = s1.reshape(pooled, win, cc)
             s1t = jnp.swapaxes(s1, 0, 1).reshape(win, pooled * cc)
             out_ref[0, r * pooled:(r + 1) * pooled, :] = jnp.dot(
                 wx_r.astype(jnp.float32), s1t,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("num_levels", "pooled", "cc",
-                                             "r_blk", "win"))
+                                             "r_blk", "win", "y_quant"))
 def _pallas_roi_align_windowed(features_ch, info, wy2, wx2, num_levels,
-                               pooled, cc, r_blk, win):
+                               pooled, cc, r_blk, win, y_quant):
     """features_ch: [ (B, nc, Hp_l, Wp_l*cc) ] (padded to >= win);
     info (NPtot, 4) int32 [img, level, y0, x0]; wy2/wx2 (NPtot*p, win).
     -> (nc, NPtot*p, p*cc)."""
@@ -855,7 +867,7 @@ def _pallas_roi_align_windowed(features_ch, info, wy2, wx2, num_levels,
     fdt = features_ch[0].dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                     # info
+        num_scalar_prefetch=4,                     # img, level, y0, x0
         grid=(nc, nblocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY)      # stays in HBM; manual DMA
@@ -874,13 +886,14 @@ def _pallas_roi_align_windowed(features_ch, info, wy2, wx2, num_levels,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = _make_windowed_kernel(num_levels, cc, pooled, r_blk, win)
+    kernel = _make_windowed_kernel(num_levels, cc, pooled, r_blk, win, y_quant)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nc, np_tot * pooled, pooled * cc),
                                        jnp.float32),
-    )(info, *features_ch, wy2.astype(fdt), wx2.astype(fdt))
+    )(info[:, 0], info[:, 1], info[:, 2], info[:, 3],
+      *features_ch, wy2.astype(fdt), wx2.astype(fdt))
 
 
 def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
@@ -911,10 +924,23 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
             (int(f.shape[1]), int(f.shape[2]), float(stride))
             for f, stride in zip(features, strides))
     # (B, H, W, C) -> (B, nc, Hp, Wp*cc), zero-padded up to the window size
+    # and to the v5e f32 tile grid: Hp a multiple of 8 (sublane) and Wp*cc a
+    # multiple of 128 (lane), so the in-kernel DMA slices are tile-aligned
+    # (Mosaic cannot lower dynamic slices of tiled HBM dims otherwise)
+    y_quant = 8 * (4 // features[0].dtype.itemsize)   # f32: 8, bf16: 16
+    x_quant = 128 // math.gcd(cc, 128)     # x0 alignment so x0*cc % 128 == 0
+    # widen the window by the alignment margin (origin flooring moves the
+    # window back by < one quantum) and round to a sublane multiple, so the
+    # tile-aligned window covers every tap the requested one would have
+    win = -(-(win + max(y_quant, x_quant)) // y_quant) * y_quant
+    def _pad_h(h):
+        return -(-max(h, win) // y_quant) * y_quant
+    def _pad_w(w):
+        return -(-max(w, win) // x_quant) * x_quant
     features_ch = []
     for f in features:
-        hp = max(int(f.shape[1]), win)
-        wp = max(int(f.shape[2]), win)
+        hp = _pad_h(int(f.shape[1]))
+        wp = _pad_w(int(f.shape[2]))
         f = jnp.pad(f, ((0, 0), (0, hp - f.shape[1]), (0, wp - f.shape[2]),
                         (0, 0)))
         features_ch.append(
@@ -934,8 +960,8 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     flat_lv = slot_lv.reshape(batch * np_rois)
     hs = jnp.asarray([h for h, _, _ in level_shapes])[flat_lv]
     ws = jnp.asarray([w for _, w, _ in level_shapes])[flat_lv]
-    hps = jnp.asarray([max(h, win) for h, _, _ in level_shapes])[flat_lv]
-    wps = jnp.asarray([max(w, win) for _, w, _ in level_shapes])[flat_lv]
+    hps = jnp.asarray([_pad_h(h) for h, _, _ in level_shapes])[flat_lv]
+    wps = jnp.asarray([_pad_w(w) for _, w, _ in level_shapes])[flat_lv]
     scale = (1.0 / jnp.asarray([st for _, _, st in level_shapes],
                                jnp.float32))[flat_lv]
     r = flat_rois * scale[:, None]
@@ -948,11 +974,17 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     xs = x1[:, None] + grid[None, :] * (roi_w / pooled)[:, None]
 
     # window origins: start one tap before the first sample, clamped so the
-    # static-shape window stays inside the (padded) level
+    # static-shape window stays inside the (padded) level, then floored to
+    # the DMA alignment grid (y: sublane 8; x: so that x0*cc is lane-aligned
+    # — a no-op when cc is a multiple of 128). Alignment can shave up to
+    # 7 rows / (x_quant-1) cols off the window's far margin; weights are
+    # window-relative so results stay exact for taps inside the window.
     y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0,
                   jnp.maximum(hps - win, 0))
+    y0 = (y0 // y_quant) * y_quant
     x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0,
                   jnp.maximum(wps - win, 0))
+    x0 = (x0 // x_quant) * x_quant
 
     wy = _window_interp_weights(ys, hs, y0, win, pooled, s)
     wx = _window_interp_weights(xs, ws, x0, win, pooled, s)
@@ -965,7 +997,7 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     out = _pallas_roi_align_windowed(
         features_ch, jax.lax.stop_gradient(info),
         jax.lax.stop_gradient(wy2), jax.lax.stop_gradient(wx2),
-        num_levels, pooled, cc, r_blk, win)
+        num_levels, pooled, cc, r_blk, win, y_quant)
 
     # (nc, B*NP*p, p*cc) -> (B, NP, p_x, p_y, C), then unpack roi slots
     out = out.reshape(nc, batch, np_rois, pooled, pooled, cc)
