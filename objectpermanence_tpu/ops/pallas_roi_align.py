@@ -31,6 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mxu_precision(dtype):
+    """HIGHEST (full fp32 MXU passes) for fp32 operands; DEFAULT for bf16,
+    where a single native pass is already exact and Mosaic rejects the fp32
+    contract-precision attribute on bf16 matmuls."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _interp_weights(coords, size: int):
     """coords: (k, 1) sample positions in level pixel space.
     Returns (k, size) bilinear weight matrix with out-of-range samples
@@ -488,10 +496,13 @@ def _pallas_roi_align_tiled_batched(features_ch, padded_rois, slot_levels,
                 feat = ref[0, 0]
                 # HIGHEST: full fp32 MXU passes -- keeps the kernel within
                 # float tolerance of the exact gather path (near-threshold
-                # NMS decisions downstream are sensitive to pass truncation)
+                # NMS decisions downstream are sensitive to pass truncation).
+                # bf16 operands are one exact MXU pass natively, and Mosaic
+                # refuses bf16 matmuls at fp32 contract precision -- HIGHEST
+                # only for fp32 inputs.
                 stage1 = jnp.dot(wy_blk[:, :h], feat,
                                  preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mxu_precision(feat.dtype))
                 # transpose + second pass in the compute dtype (fp32 or bf16)
                 stage1 = stage1.astype(wy_blk.dtype)
                 rows = []
@@ -507,7 +518,7 @@ def _pallas_roi_align_tiled_batched(features_ch, padded_rois, slot_levels,
                 wx_bd = jnp.where(ci // w == qi // pooled, tiled, 0.0)
                 return jnp.dot(wx_bd, stage1_t,
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_mxu_precision(stage1_t.dtype))
 
             return body
 
@@ -673,7 +684,7 @@ def _pallas_roi_align_tiled_batched_bwd(dout_packed, padded_rois, slot_levels,
                 # d stage1_t (R*W, p*cc) = Wx_bd^T @ dOut
                 dst1_t = jnp.dot(wx_bd.T, dout_blk,
                                  preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mxu_precision(dout_blk.dtype))
                 dst1_t = dst1_t.astype(wy_blk.dtype)
                 # untranspose: rows r*W.. (w, p*cc) -> (p, w*cc)
                 rows = []
@@ -685,7 +696,7 @@ def _pallas_roi_align_tiled_batched_bwd(dout_packed, padded_rois, slot_levels,
                 dstage1 = jnp.concatenate(rows)              # (rp, W*cc)
                 contrib = jnp.dot(wy_blk[:, :h].T, dstage1,
                                   preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=_mxu_precision(dstage1.dtype))
                 ref[0, 0] += contrib                         # (H, W*cc)
 
             return body
@@ -843,7 +854,7 @@ def _make_windowed_kernel(num_levels: int, cc: int, pooled: int, r_blk: int,
             # HIGHEST: full fp32 MXU passes, matching the resident kernel;
             # the windowed path is DMA-bound so the extra passes are free
             s1 = jnp.dot(wy_r, feat, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=_mxu_precision(feat.dtype))
             s1 = s1.reshape(pooled, win, cc)
             s1t = jnp.swapaxes(s1, 0, 1).reshape(win, pooled * cc)
             out_ref[0, r * pooled:(r + 1) * pooled, :] = jnp.dot(

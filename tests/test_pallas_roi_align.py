@@ -196,3 +196,35 @@ def test_windowed_roi_align_800px_shapes():
         pra.pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_batched_and_windowed_roi_align_bf16():
+    """bf16 feature path: kernels must pick DEFAULT MXU precision (Mosaic
+    rejects bf16 matmuls at fp32 contract precision) and stay within bf16
+    tolerance of the fp32 gather oracle."""
+    import jax
+    rng = np.random.RandomState(11)
+    B = 2
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3)]
+    feats32 = [jnp.asarray(rng.rand(B, 8, h, w).astype(np.float32))
+               for h, w in shapes]
+    feats16 = [f.astype(jnp.bfloat16) for f in feats32]
+    rois = jnp.asarray(np.stack([_random_rois(rng, 16) for _ in range(B)]))
+    levels = jax.vmap(assign_levels)(rois)
+    ref = jax.vmap(lambda *a: multilevel_roi_align(list(a[:4]), a[4], a[5],
+                                                   ROI_STRIDES))(
+        *feats32, rois, levels)
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got_b = pra.roi_align_pallas_batched(feats16, rois, levels,
+                                             ROI_STRIDES, channel_chunk=4)
+        got_w = pra.roi_align_pallas_windowed(feats16, rois, levels,
+                                              ROI_STRIDES, channel_chunk=4,
+                                              r_blk=4, win=32)
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_w, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
