@@ -79,7 +79,17 @@ def init_model(name: str, config: Dict[str, int], seed: int = 0,
     spec = get_model_spec(name)
     params = spec.init(jax.random.PRNGKey(seed), config)
     if checkpoint_path is not None:
-        from objectpermanence_tpu.utils.checkpoint import restore_params
+        from objectpermanence_tpu.utils.checkpoint import (
+            best_params_checkpoint, restore_params,
+        )
+        # the reference's model_path is a single .pth file; the natural
+        # analogue here is a checkpoint TREE (`<ckpt_root>/<model>/` with
+        # `<stamp>_<dev_miou>` leaves from the training loop) — resolve a
+        # non-leaf directory to its best-dev params checkpoint so
+        # `inference_config.json: model_path` can point at either.
+        resolved = best_params_checkpoint(checkpoint_path)
+        if resolved is not None:
+            checkpoint_path = resolved
         # device_put once: orbax restores HOST numpy arrays, and feeding
         # those to a jit re-uploads every parameter on EVERY dispatch (~10 MB
         # per step — catastrophic over a low-bandwidth host link)
