@@ -1,6 +1,7 @@
 """Checkpoint utils: save/restore roundtrip and overwrite semantics
 (best-checkpoint names derive from rounded metrics and can repeat)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,3 +33,29 @@ def test_train_state_roundtrip_and_overwrite(tmp_path):
     # overwrite same epoch (resume re-run)
     ckpt.save_train_state(path, params, opt_state, {"epoch": 1, "scheduler": {}})
     assert ckpt.latest_checkpoint(tmp_path) == path.resolve()
+
+
+def test_init_model_resolves_checkpoint_tree(tmp_path):
+    """`inference_config.json: model_path` may point at the checkpoint TREE
+    (`<root>/<model>/` with `<stamp>_<miou>` leaves) — the natural analogue
+    of the reference's single .pth path — or directly at a leaf; both load
+    the best-dev params (registry.init_model)."""
+    from objectpermanence_tpu.models.registry import init_model
+
+    cfg = {"object_to_track_pred_dim": 15, "object_to_track_hidden_dim": 16,
+           "videos_hidden_dim": 24}
+    spec, params = init_model("opnet", cfg, seed=3)
+    tree = tmp_path / "opnet"
+    ckpt.save_params(tree / "17-08-26_0.25", params)
+    # a worse checkpoint and a resume dir must not win
+    _, worse = init_model("opnet", cfg, seed=4)
+    ckpt.save_params(tree / "16-08-26_0.10", worse)
+    ckpt.save_train_state(tree / "resume" / "epoch_0001", params,
+                          {"m": jnp.zeros(2)}, {"epoch": 1})
+
+    flat = jax.tree_util.tree_leaves(params)
+    for path in (tree, tree / "17-08-26_0.25"):
+        _, loaded = init_model("opnet", cfg, seed=9, checkpoint_path=path)
+        got = jax.tree_util.tree_leaves(loaded)
+        for a, b in zip(flat, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
