@@ -88,10 +88,15 @@ def track_video(reasoner: AbstractReasoner, prediction_data: Dict,
 
 def trackers_inference_main(model_type: str, results_dir: str,
                             config: Dict) -> Dict[str, List[List[int]]]:
+    """Optional config key `skip_existing` (default false): reuse
+    `<name>_bb.json` predictions already in `results_dir` instead of
+    re-tracking — per-video failure recovery for long runs over a flaky
+    device link (same policy as the preprocess driver's per-video skip)."""
     samples_dir = Path(config["sample_dir"])
     results_dir = Path(results_dir)
     results_dir.mkdir(parents=True, exist_ok=True)
     model_weights = config.get("model_path", "")
+    skip_existing = bool(config.get("skip_existing", False))
 
     videos_dir = config.get("videos_dir")
     sample_file = config.get("sample_file")
@@ -105,6 +110,12 @@ def trackers_inference_main(model_type: str, results_dir: str,
 
     all_predictions = {}
     for name in names:
+        done_path = results_dir / f"{name}_bb.json"
+        if skip_existing and done_path.exists():
+            import json
+            with open(done_path) as f:
+                all_predictions[name] = json.load(f)
+            continue
         with open(samples_dir / f"{name}.pkl", "rb") as f:
             prediction_data = pickle.load(f)
         num_frames = len(prediction_data["bb"])

@@ -52,7 +52,9 @@ def reasoner_ope(root: Path, dirs: dict, model_type: str,
     config = {"sample_dir": str(dirs["perception"]),
               "labels_dir": str(dirs["labels"]),
               "videos_dir": str(dirs["videos"]),
-              "model_path": weights}
+              "model_path": weights,
+              # per-video resume: a wedged-tunnel restart keeps finished work
+              "skip_existing": True}
     t0 = time.time()
     predictions = trackers_inference_main(model_type,
                                           str(root / f"results_{model_type}"),

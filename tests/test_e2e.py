@@ -187,3 +187,26 @@ def test_no_labels_variant_trains(fixture_data, tmp_path):
               "--model_config", str(model_cfg_path),
               "--training_config", str(train_cfg_path)])
     assert (tmp_path / "ckpt" / "opnet_no_labels" / "resume" / "epoch_0001").exists()
+
+
+def test_tracker_inference_skip_existing(fixture_data, tmp_path):
+    """`skip_existing` reuses finished `<name>_bb.json` files (per-video
+    resume after a crashed/wedged run) and re-tracks only missing ones."""
+    from objectpermanence_tpu.infer.trackers import trackers_inference_main
+
+    root, pred_dir, labels_dir, _ = fixture_data
+    results_dir = tmp_path / "resume_results"
+    cfg = {"sample_dir": str(pred_dir), "labels_dir": str(labels_dir)}
+
+    full = trackers_inference_main("detector_heuristic", str(results_dir), cfg)
+    names = sorted(full)
+    # poison one finished prediction; delete another -> only the deleted
+    # video may be re-tracked
+    poisoned = results_dir / f"{names[0]}_bb.json"
+    poisoned.write_text(json.dumps([[1, 2, 3, 4]] * len(full[names[0]])))
+    (results_dir / f"{names[1]}_bb.json").unlink()
+
+    resumed = trackers_inference_main("detector_heuristic", str(results_dir),
+                                      {**cfg, "skip_existing": True})
+    assert resumed[names[0]][0] == [1, 2, 3, 4]          # reused, not re-run
+    assert resumed[names[1]] == full[names[1]]           # re-tracked
