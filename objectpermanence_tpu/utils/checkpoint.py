@@ -71,7 +71,7 @@ def best_params_checkpoint(checkpoint_dir) -> Optional[Path]:
     `<stamp>_<dev_miou>` by the training loop; picks the highest mIoU
     (ties broken by recency), skipping the `resume/` tree."""
     checkpoint_dir = _as_abs(checkpoint_dir)
-    if not checkpoint_dir.exists():
+    if not checkpoint_dir.is_dir():
         return None
 
     def score(p: Path) -> Optional[float]:
