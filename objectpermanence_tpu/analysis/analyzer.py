@@ -37,8 +37,12 @@ def write_bb_predictions(video_name: str, predictions_dir, boxes) -> Path:
     `tracking_utils.py:96-103`)."""
     path = Path(predictions_dir) / f"{video_name}_bb.json"
     data = [[int(x1), int(y1), int(x2), int(y2)] for x1, y1, x2, y2 in np.asarray(boxes)]
-    with open(path, "w") as f:
+    # atomic write: a crash mid-dump must not leave a truncated file that
+    # poisons skip_existing resumes
+    tmp = path.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
         json.dump(data, f, indent=2)
+    tmp.replace(path)
     return path
 
 

@@ -86,6 +86,9 @@ class InferenceConfig:
     videos_dir: Optional[str] = None
     sample_file: Optional[str] = None
     cache_dir: Optional[str] = None
+    # tracker (detector_*) models only: reuse finished <name>_bb.json
+    # results instead of re-tracking (per-video crash/wedge recovery)
+    skip_existing: bool = False
 
 
 @dataclass(frozen=True)

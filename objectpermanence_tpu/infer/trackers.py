@@ -112,10 +112,18 @@ def trackers_inference_main(model_type: str, results_dir: str,
     for name in names:
         done_path = results_dir / f"{name}_bb.json"
         if skip_existing and done_path.exists():
+            # validate before reuse: a corrupt or short file (crashed writer
+            # predating the atomic-write fix, foreign artifact) re-tracks
             import json
-            with open(done_path) as f:
-                all_predictions[name] = json.load(f)
-            continue
+            try:
+                with open(done_path) as f:
+                    prev = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                prev = None
+            if (isinstance(prev, list) and prev
+                    and all(len(b) == 4 for b in prev)):
+                all_predictions[name] = prev
+                continue
         with open(samples_dir / f"{name}.pkl", "rb") as f:
             prediction_data = pickle.load(f)
         num_frames = len(prediction_data["bb"])

@@ -31,11 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mxu_precision(dtype):
-    """HIGHEST (full fp32 MXU passes) for fp32 operands; DEFAULT for bf16,
-    where a single native pass is already exact and Mosaic rejects the fp32
-    contract-precision attribute on bf16 matmuls."""
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+def _mxu_precision(*dtypes):
+    """HIGHEST (full fp32 MXU passes) only when EVERY operand is fp32;
+    DEFAULT otherwise — a bf16 operand is one exact native pass, and Mosaic
+    rejects the fp32 contract-precision attribute on any matmul with a bf16
+    side (pass both operand dtypes, not just one: a mixed f32xbf16 pair must
+    also take DEFAULT)."""
+    return (jax.lax.Precision.HIGHEST
+            if all(d == jnp.float32 for d in dtypes)
             else jax.lax.Precision.DEFAULT)
 
 
@@ -502,7 +505,7 @@ def _pallas_roi_align_tiled_batched(features_ch, padded_rois, slot_levels,
                 # only for fp32 inputs.
                 stage1 = jnp.dot(wy_blk[:, :h], feat,
                                  preferred_element_type=jnp.float32,
-                                 precision=_mxu_precision(feat.dtype))
+                                 precision=_mxu_precision(wy_blk.dtype, feat.dtype))
                 # transpose + second pass in the compute dtype (fp32 or bf16)
                 stage1 = stage1.astype(wy_blk.dtype)
                 rows = []
@@ -518,7 +521,7 @@ def _pallas_roi_align_tiled_batched(features_ch, padded_rois, slot_levels,
                 wx_bd = jnp.where(ci // w == qi // pooled, tiled, 0.0)
                 return jnp.dot(wx_bd, stage1_t,
                                preferred_element_type=jnp.float32,
-                               precision=_mxu_precision(stage1_t.dtype))
+                               precision=_mxu_precision(wx_bd.dtype, stage1_t.dtype))
 
             return body
 
@@ -684,7 +687,7 @@ def _pallas_roi_align_tiled_batched_bwd(dout_packed, padded_rois, slot_levels,
                 # d stage1_t (R*W, p*cc) = Wx_bd^T @ dOut
                 dst1_t = jnp.dot(wx_bd.T, dout_blk,
                                  preferred_element_type=jnp.float32,
-                                 precision=_mxu_precision(dout_blk.dtype))
+                                 precision=_mxu_precision(wx_bd.dtype, dout_blk.dtype))
                 dst1_t = dst1_t.astype(wy_blk.dtype)
                 # untranspose: rows r*W.. (w, p*cc) -> (p, w*cc)
                 rows = []
@@ -696,7 +699,7 @@ def _pallas_roi_align_tiled_batched_bwd(dout_packed, padded_rois, slot_levels,
                 dstage1 = jnp.concatenate(rows)              # (rp, W*cc)
                 contrib = jnp.dot(wy_blk[:, :h].T, dstage1,
                                   preferred_element_type=jnp.float32,
-                                  precision=_mxu_precision(dstage1.dtype))
+                                  precision=_mxu_precision(wy_blk.dtype, dstage1.dtype))
                 ref[0, 0] += contrib                         # (H, W*cc)
 
             return body
@@ -854,7 +857,7 @@ def _make_windowed_kernel(num_levels: int, cc: int, pooled: int, r_blk: int,
             # HIGHEST: full fp32 MXU passes, matching the resident kernel;
             # the windowed path is DMA-bound so the extra passes are free
             s1 = jnp.dot(wy_r, feat, preferred_element_type=jnp.float32,
-                         precision=_mxu_precision(feat.dtype))
+                         precision=_mxu_precision(wy_r.dtype, feat.dtype))
             s1 = s1.reshape(pooled, win, cc)
             s1t = jnp.swapaxes(s1, 0, 1).reshape(win, pooled * cc)
             out_ref[0, r * pooled:(r + 1) * pooled, :] = jnp.dot(
@@ -941,9 +944,14 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     y_quant = 8 * (4 // features[0].dtype.itemsize)   # f32: 8, bf16: 16
     x_quant = 128 // math.gcd(cc, 128)     # x0 alignment so x0*cc % 128 == 0
     # widen the window by the alignment margin (origin flooring moves the
-    # window back by < one quantum) and round to a sublane multiple, so the
-    # tile-aligned window covers every tap the requested one would have
-    win = -(-(win + max(y_quant, x_quant)) // y_quant) * y_quant
+    # window back by < one quantum) and round to a multiple of BOTH quanta
+    # (powers of two, so lcm == max), so the tile-aligned window covers
+    # every tap the requested one would have. Rounding to y_quant alone is
+    # not enough: at the right level edge the clip bound is wps - win, and
+    # if win is not an x_quant multiple that bound falls off the x grid —
+    # flooring then shifts the window left past the rightmost taps.
+    quant = max(y_quant, x_quant)
+    win = -(-(win + quant) // quant) * quant
     def _pad_h(h):
         return -(-max(h, win) // y_quant) * y_quant
     def _pad_w(w):

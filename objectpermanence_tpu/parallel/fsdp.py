@@ -108,6 +108,10 @@ def make_fsdp_train_step(spec, optimizer, mesh: Mesh, params: Any,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    # donate params + opt state: without donation each step holds TWO copies
+    # of the model state live (inputs + outputs), halving the very memory
+    # headroom the sharding buys
     return jax.jit(step,
                    in_shardings=(p_sh, o_sh, b_sh, b_sh, b_sh, repl),
-                   out_shardings=(p_sh, o_sh, repl))
+                   out_shardings=(p_sh, o_sh, repl),
+                   donate_argnums=(0, 1))

@@ -103,9 +103,9 @@ def train(root: Path, epochs: int, resume: bool) -> None:
         "train_containment_file": "x", "dev_sample_dir": "x",
         "dev_labels_dir": "x", "dev_containment_file": "x",
     }
-    model_config = {"object_to_track_pred_dim": 15,
-                    "object_to_track_hidden_dim": 256,
-                    "videos_hidden_dim": 512}
+    import json as _json
+    model_config = _json.loads((Path(__file__).resolve().parent.parent /
+                                "configs" / "opnet_model_config.json").read_text())
     result = training_main(spec, datasets["train"], datasets["dev"],
                            train_config, model_config, resume=resume)
     print(f"[train] best dev mIoU: {result.best_dev_iou:.4f}", flush=True)
@@ -128,9 +128,9 @@ def analyze(root: Path) -> None:
         "model_path": str(best),
         "cache_dir": str(root / "cache"),
     }
-    model_config = {"object_to_track_pred_dim": 15,
-                    "object_to_track_hidden_dim": 256,
-                    "videos_hidden_dim": 512}
+    import json as _json
+    model_config = _json.loads((Path(__file__).resolve().parent.parent /
+                                "configs" / "opnet_model_config.json").read_text())
     reasoning_inference_main("opnet", str(results_dir), inference_config,
                              model_config)
     ann = test_dir / "annotations"

@@ -42,7 +42,7 @@ def build_fixture_set(root: Path, num_videos: int, frames: int) -> dict:
 
 
 def reasoner_ope(root: Path, dirs: dict, model_type: str,
-                 weights: str) -> dict:
+                 weights: str, resume: bool = False) -> dict:
     """Drive the real inference path for one programmed reasoner and score
     its snitch predictions with the OTB OPE metrics."""
     from objectpermanence_tpu.analysis.analyzer import parse_gt_bb_json
@@ -53,8 +53,9 @@ def reasoner_ope(root: Path, dirs: dict, model_type: str,
               "labels_dir": str(dirs["labels"]),
               "videos_dir": str(dirs["videos"]),
               "model_path": weights,
-              # per-video resume: a wedged-tunnel restart keeps finished work
-              "skip_existing": True}
+              # --resume ONLY: reusing results produced with different
+              # weights would silently score the old model's predictions
+              "skip_existing": resume}
     t0 = time.time()
     predictions = trackers_inference_main(model_type,
                                           str(root / f"results_{model_type}"),
@@ -125,6 +126,8 @@ def main() -> None:
                     help="rendered videos dir matching --existing-src")
     ap.add_argument("--limit", type=int, default=None,
                     help="with --existing-src: use only the first N videos")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse finished <name>_bb.json results in --root (ONLY valid when re-running with the SAME weights)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the chip alone)")
     args = ap.parse_args()
@@ -170,7 +173,7 @@ def main() -> None:
     for model_type in ("detector_heuristic", "detector_tracker"):
         print(f"[bench] {model_type}...", flush=True)
         results[model_type] = reasoner_ope(args.root, dirs, model_type,
-                                           args.weights)
+                                           args.weights, resume=args.resume)
     print("[bench] raw siamrpn (OTB harness)...", flush=True)
     results["siamrpn_raw"] = raw_siam_ope(dirs, args.weights)
 

@@ -38,9 +38,9 @@ import numpy as np
 
 SPLITS = ("train", "dev", "test")
 
-MODEL_CONFIG = {"object_to_track_pred_dim": 15,
-                "object_to_track_hidden_dim": 256,
-                "videos_hidden_dim": 512}
+# the shipped reference-format config is the single source of truth
+MODEL_CONFIG = json.loads((Path(__file__).resolve().parent.parent /
+                           "configs" / "opnet_model_config.json").read_text())
 
 
 def detector_config():

@@ -28,19 +28,13 @@ DEFAULT_MODELS = ("opnet", "opnet_lstm_mlp", "baseline_lstm",
                   # 0.5*consistency, `training_main.py:199-210`)
                   "opnet_no_labels", "baseline_lstm_no_labels")
 
+# single source of truth: the shipped configs/<model>_model_config.json
+# (same files and keys as the reference's configs/)
+_CONFIGS_DIR = Path(__file__).resolve().parent.parent / "configs"
 MODEL_CONFIGS = {
-    # reference configs/*.json
-    "opnet": {"object_to_track_pred_dim": 15,
-              "object_to_track_hidden_dim": 256, "videos_hidden_dim": 512},
-    "opnet_lstm_mlp": {"object_to_track_pred_dim": 15,
-                       "object_to_track_hidden_dim": 256,
-                       "videos_hidden_dim": 512},
-    "baseline_lstm": {"videos_hidden_dim": 512},
-    "non_linear_lstm": {"boxes_features_dim": 256, "videos_hidden_dim": 512},
-    "transformer_lstm": {"boxes_features_dim": 256,
-                         "num_attention_heads": 2,
-                         "num_attention_layers": 2, "num_lstm_layers": 2,
-                         "lstm_hidden_dim": 512},
+    m: json.loads((_CONFIGS_DIR / f"{m}_model_config.json").read_text())
+    for m in ("opnet", "opnet_lstm_mlp", "baseline_lstm",
+              "non_linear_lstm", "transformer_lstm")
 }
 for _m in list(MODEL_CONFIGS):
     MODEL_CONFIGS[_m + "_no_labels"] = MODEL_CONFIGS[_m]

@@ -228,3 +228,36 @@ def test_batched_and_windowed_roi_align_bf16():
                                np.asarray(ref), rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(got_w, np.float32),
                                np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_windowed_roi_align_right_edge_small_cc():
+    """Regression: with cc not a multiple of 8 (x_quant > y_quant), a roi
+    near the RIGHT level edge must still be exact — the window size must be
+    a multiple of both alignment quanta, else the clip bound wps-win falls
+    off the x grid and flooring shifts the window left past the taps."""
+    import jax
+    rng = np.random.RandomState(5)
+    B, C = 1, 4                       # cc=4 -> x_quant = 32
+    shapes = [(64, 128), (32, 64), (16, 32), (8, 16)]
+    feats = [jnp.asarray(rng.rand(B, C, h, w).astype(np.float32))
+             for h, w in shapes]
+    # rois hugging the right/bottom edges of level 0 (stride 4 -> image
+    # coords), plus an interior control
+    rois_img = np.array([[480.0, 240.0, 505.0, 262.0],      # right edge
+                         [495.0, 20.0, 510.0, 40.0],        # far right
+                         [40.0, 220.0, 70.0, 254.0],        # bottom
+                         [100.0, 100.0, 130.0, 130.0]], np.float32)
+    rois = jnp.asarray(rois_img)[None]
+    levels = jnp.zeros((B, 4), jnp.int32)
+    ref = jax.vmap(lambda *a: multilevel_roi_align(list(a[:4]), a[4], a[5],
+                                                   ROI_STRIDES))(
+        *feats, rois, levels)
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas_windowed(feats, rois, levels, ROI_STRIDES,
+                                            channel_chunk=4, r_blk=4, win=48)
+    finally:
+        pra.pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
