@@ -104,7 +104,39 @@ def _load_real(spec, init_params):
         return None, f"synthetic ({type(exc).__name__})"
 
 
+def _wait_for_backend(max_attempts: int = 4, probe_timeout: float = 120.0,
+                      sleep_s: float = 60.0) -> None:
+    """The dev TPU tunnel wedges transiently — backend init either raises
+    UNAVAILABLE fast or HANGS outright; a fresh process minutes later
+    usually succeeds (CLAUDE.md). Probe in a subprocess with a hard timeout
+    (covers both failure modes without wedging this process) and only
+    proceed once a probe init succeeds. Retry chatter goes to stderr; the
+    one-JSON-line stdout contract is preserved."""
+    import subprocess
+    for attempt in range(max_attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            msg = r.stderr.decode(errors="replace").strip().splitlines()
+            msg = msg[-1][:160] if msg else f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            msg = f"probe hung >{probe_timeout:.0f}s"
+        if attempt + 1 == max_attempts:
+            print(f"bench: backend still unavailable after {max_attempts} "
+                  f"probes ({msg}); proceeding anyway", file=sys.stderr,
+                  flush=True)
+            return
+        print(f"bench: backend not ready ({msg}); probe "
+              f"{attempt + 2}/{max_attempts} in {sleep_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+
+
 def main() -> None:
+    _wait_for_backend()
     spec = get_model_spec("opnet")
     params = spec.init(jax.random.PRNGKey(0), OPNET_CONFIG)
     # int16 wire format: lossless for pixel coords in [0, 320]
