@@ -143,9 +143,10 @@ def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False,
                     needs_grad: bool = False) -> str:
     """Pick the RoIAlign backend: "" (gather), "resident" (whole-batch
     VMEM-resident tiled kernel) or "windowed" (per-roi DMA windows, for
-    pyramids too large for VMEM — the 800px COCO recipe). The resident
-    kernel carries a custom VJP; the windowed kernel is inference-only, so
-    `needs_grad` (the training loss) never selects it."""
+    pyramids too large for VMEM — the 800px COCO recipe). Both Pallas
+    backends are trainable: the resident kernel has a Pallas backward;
+    the windowed kernel pairs its forward with an exact gather-transpose
+    backward (`roi_align_windowed_trainable`)."""
     if config.roi_backend == "gather":
         return ""
     if config.roi_backend in ("pallas", "windowed"):
@@ -168,7 +169,7 @@ def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False,
     total = sum(math.ceil(h / s) * math.ceil(w / s) for s in (4, 8, 16, 32))
     if total * config.fpn_channels * 4 <= 8 * 2**20:
         return "resident"
-    return "" if needs_grad else "windowed"
+    return "windowed"
 
 
 def batched_roi_align(pyramid, proposals, config: DetectorConfig,
@@ -183,10 +184,14 @@ def batched_roi_align(pyramid, proposals, config: DetectorConfig,
     if backend:
         from objectpermanence_tpu.ops.pallas_roi_align import (
             roi_align_pallas_batched, roi_align_pallas_windowed,
+            roi_align_windowed_trainable,
         )
         levels = jax.vmap(roi_heads.assign_levels)(proposals)
-        roi_fn = (roi_align_pallas_batched if backend == "resident"
-                  else roi_align_pallas_windowed)
+        if backend == "resident":
+            roi_fn = roi_align_pallas_batched
+        else:
+            roi_fn = (roi_align_windowed_trainable if needs_grad
+                      else roi_align_pallas_windowed)
         pooled = roi_fn(pyramid, proposals, levels, roi_heads.ROI_STRIDES,
                         layout=layout)
         return pooled.astype(pyramid[0].dtype)

@@ -1025,3 +1025,74 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     out = jnp.take_along_axis(
         out, dst_of_orig[:, :, None, None, None], axis=1)
     return jnp.transpose(out, (0, 1, 4, 3, 2))
+
+
+# ---------------------------------------------------------------------------
+# Trainable windowed RoIAlign: windowed-DMA forward + exact gather-transpose
+# backward. RoIAlign is LINEAR in the feature maps (the interpolation
+# weights depend only on rois/levels), so the exact d_features is the
+# transpose of the sampling map — computed as the VJP of the XLA gather
+# formulation (`ops/roi_align.multilevel_roi_align`), independent of the
+# forward kernel's internals. This gives the 800px COCO-recipe TRAINING
+# path the fast forward; the backward is the same scatter-add the pure
+# gather path's autodiff produces.
+#
+# Caveat: for the rare out-of-window-contract rois (>~5:1 aspect — see the
+# windowed kernel's note) the forward drops out-of-window taps while the
+# backward includes them, so fwd/bwd are inconsistent for those rois only.
+# In-contract rois (all of them under the canonical FPN assignment at
+# detection aspect ratios) get exact forward AND exact gradient.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _windowed_diff(features, rois, levels, strides, pooled, sampling_ratio,
+                   channel_chunk, r_blk, win, layout, feat_meta):
+    return roi_align_pallas_windowed(list(features), rois, levels, strides,
+                                     pooled, sampling_ratio, channel_chunk,
+                                     r_blk, win, layout)
+
+
+def _windowed_diff_fwd(features, rois, levels, strides, pooled,
+                       sampling_ratio, channel_chunk, r_blk, win, layout,
+                       feat_meta):
+    out = _windowed_diff(features, rois, levels, strides, pooled,
+                         sampling_ratio, channel_chunk, r_blk, win, layout,
+                         feat_meta)
+    return out, (rois, levels)
+
+
+def _windowed_diff_bwd(strides, pooled, sampling_ratio, channel_chunk, r_blk,
+                       win, layout, feat_meta, residuals, g):
+    from objectpermanence_tpu.ops.roi_align import multilevel_roi_align
+    rois, levels = residuals
+
+    def lin(feats):
+        if layout == "nhwc":
+            feats = tuple(jnp.moveaxis(f, -1, 1) for f in feats)
+        return jax.vmap(lambda fl, r, l: multilevel_roi_align(
+            list(fl), r, l, strides, pooled, sampling_ratio))(
+            feats, rois, levels)
+
+    zeros = tuple(jnp.zeros(shape, dtype) for shape, dtype in feat_meta)
+    _, vjp = jax.vjp(lin, zeros)
+    (dfeats,) = vjp(g.astype(zeros[0].dtype))
+    return (dfeats, None, None)
+
+
+_windowed_diff.defvjp(_windowed_diff_fwd, _windowed_diff_bwd)
+
+
+def roi_align_windowed_trainable(features: List[jax.Array], rois: jax.Array,
+                                 levels: jax.Array, strides: Sequence[int],
+                                 pooled: int = 7, sampling_ratio: int = 2,
+                                 channel_chunk: int = 128, r_blk: int = 16,
+                                 win: int = 48,
+                                 layout: str = "nchw") -> jax.Array:
+    """`roi_align_pallas_windowed` with a custom VJP (see the note above):
+    fast windowed-DMA forward, exact gather-transpose backward."""
+    feat_meta = tuple((tuple(int(d) for d in f.shape), jnp.dtype(f.dtype).name)
+                      for f in features)
+    return _windowed_diff(tuple(features), rois, levels, tuple(strides),
+                          pooled, sampling_ratio, channel_chunk, r_blk, win,
+                          layout, feat_meta)

@@ -20,7 +20,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--min-size", type=int, default=240)
+    ap.add_argument("--max-size", type=int, default=320)
+    ap.add_argument("--backends", nargs="+", default=["gather", "pallas"],
+                    help="any of: gather pallas windowed (windowed = "
+                         "windowed-DMA fwd + gather-transpose bwd, for "
+                         "pyramids too large for VMEM, e.g. --min-size 800)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the chip alone)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from objectpermanence_tpu.models.detector import anchors as anchor_lib
     from objectpermanence_tpu.models.detector.detector import (
@@ -49,8 +59,8 @@ def main():
         leaf = jax.tree.leaves(tree)[0]
         np.asarray(jax.device_get(leaf.ravel()[:1]))
 
-    for backend in ("gather", "pallas"):
-        config = DetectorConfig(min_size=240, max_size=320,
+    for backend in args.backends:
+        config = DetectorConfig(min_size=args.min_size, max_size=args.max_size,
                                 rpn_pre_nms_top_n=500, rpn_post_nms_top_n=300,
                                 roi_backend=backend)
         anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(

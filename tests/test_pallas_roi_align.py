@@ -230,6 +230,55 @@ def test_batched_and_windowed_roi_align_bf16():
                                np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
+def test_windowed_trainable_grads_match_gather_autodiff():
+    """roi_align_windowed_trainable: windowed forward at float parity with
+    the gather path, and d_features EXACTLY equal to the gather path's
+    autodiff (RoIAlign is linear in features; the custom VJP is the exact
+    transpose of the sampling map)."""
+    import jax
+    rng = np.random.RandomState(11)
+    B, C = 2, 8
+    shapes = [(32, 40), (16, 20), (8, 10), (4, 5)]
+    feats = [jnp.asarray(rng.rand(B, C, h, w).astype(np.float32))
+             for h, w in shapes]
+    rois = jnp.asarray(rng.uniform(10, 100, size=(B, 6, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].set(rois[..., :2] + rng.uniform(
+        8, 60, size=(B, 6, 2)).astype(np.float32))
+    levels = jax.vmap(lambda r: jnp.zeros(r.shape[0], jnp.int32) +
+                      (jnp.arange(r.shape[0]) % 4))(rois)
+
+    def gather_fn(fs):
+        return jax.vmap(lambda *a: multilevel_roi_align(
+            list(a[:4]), a[4], a[5], ROI_STRIDES))(*fs, rois, levels)
+
+    cotangent = jnp.asarray(rng.rand(B, 6, C, 7, 7).astype(np.float32))
+
+    def loss_gather(fs):
+        return jnp.sum(gather_fn(fs) * cotangent)
+
+    ref_out = gather_fn(feats)
+    ref_grads = jax.grad(loss_gather)(feats)
+
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        def loss_win(fs):
+            out = pra.roi_align_windowed_trainable(
+                fs, rois, levels, ROI_STRIDES, channel_chunk=8, r_blk=4,
+                win=24)
+            return jnp.sum(out * cotangent), out
+
+        (_, got_out), got_grads = jax.value_and_grad(
+            loss_win, has_aux=True)(feats)
+    finally:
+        pra.pl.pallas_call = orig
+
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    for g, r in zip(got_grads, ref_grads):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_windowed_roi_align_right_edge_small_cc():
     """Regression: with cc not a multiple of 8 (x_quant > y_quant), a roi
     near the RIGHT level edge must still be exact — the window size must be
