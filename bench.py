@@ -33,12 +33,12 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from objectpermanence_tpu.config import load_model_config
 from objectpermanence_tpu.infer.reasoning import make_predict_step
 from objectpermanence_tpu.models.registry import get_model_spec
 
 BASELINE_FPS = 5000.0  # north-star target, frames/sec/chip
-OPNET_CONFIG = {"object_to_track_pred_dim": 15, "object_to_track_hidden_dim": 256,
-                "videos_hidden_dim": 512}
+OPNET_CONFIG = load_model_config("opnet")
 BATCH_VIDEOS = 512
 NUM_FRAMES = 300
 WARMUP_ITERS = 2

@@ -39,6 +39,16 @@ def load_config(cls, path, name: Optional[str] = None):
     return _from_dict(cls, data, name or Path(path).name)
 
 
+def load_model_config(model_name: str) -> dict:
+    """The shipped `configs/<model>_model_config.json` (same files and keys
+    as the reference repo's configs/) — the single source of truth for model
+    hyperparameters used by scripts and the headline bench."""
+    path = (Path(__file__).resolve().parent.parent / "configs" /
+            f"{model_name}_model_config.json")
+    with open(path) as f:
+        return json.load(f)
+
+
 @dataclass(frozen=True)
 class TrainingConfig:
     """Mirrors `configs/training_config.json`."""

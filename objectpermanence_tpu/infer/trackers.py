@@ -110,23 +110,26 @@ def trackers_inference_main(model_type: str, results_dir: str,
 
     all_predictions = {}
     for name in names:
+        with open(samples_dir / f"{name}.pkl", "rb") as f:
+            prediction_data = pickle.load(f)
+        num_frames = len(prediction_data["bb"])
+
         done_path = results_dir / f"{name}_bb.json"
         if skip_existing and done_path.exists():
-            # validate before reuse: a corrupt or short file (crashed writer
-            # predating the atomic-write fix, foreign artifact) re-tracks
+            # validate before reuse: a corrupt, short, or foreign file
+            # (crashed writer predating the atomic-write fix, stale results
+            # from a different fixture set) re-tracks instead
             import json
             try:
                 with open(done_path) as f:
                     prev = json.load(f)
             except (json.JSONDecodeError, OSError):
                 prev = None
-            if (isinstance(prev, list) and prev
-                    and all(len(b) == 4 for b in prev)):
+            if (isinstance(prev, list) and len(prev) == num_frames
+                    and all(isinstance(b, list) and len(b) == 4
+                            for b in prev)):
                 all_predictions[name] = prev
                 continue
-        with open(samples_dir / f"{name}.pkl", "rb") as f:
-            prediction_data = pickle.load(f)
-        num_frames = len(prediction_data["bb"])
 
         frames_reader = None
         cap = None

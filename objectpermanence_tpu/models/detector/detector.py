@@ -143,10 +143,14 @@ def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False,
                     needs_grad: bool = False) -> str:
     """Pick the RoIAlign backend: "" (gather), "resident" (whole-batch
     VMEM-resident tiled kernel) or "windowed" (per-roi DMA windows, for
-    pyramids too large for VMEM — the 800px COCO recipe). Both Pallas
-    backends are trainable: the resident kernel has a Pallas backward;
-    the windowed kernel pairs its forward with an exact gather-transpose
-    backward (`roi_align_windowed_trainable`)."""
+    pyramids too large for VMEM — the 800px COCO recipe). The resident
+    kernel has a Pallas backward; the windowed kernel pairs its forward
+    with an exact gather-transpose backward
+    (`roi_align_windowed_trainable`) but drops out-of-window taps for
+    >~5:1-aspect rois, which early-training RPN proposals routinely
+    produce — so AUTO dispatch keeps the exact gather path whenever grads
+    are needed, and windowed training is explicit opt-in
+    (roi_backend="windowed", for fine-tuning with a warmed-up RPN)."""
     if config.roi_backend == "gather":
         return ""
     if config.roi_backend in ("pallas", "windowed"):
@@ -169,7 +173,7 @@ def _use_pallas_roi(config: DetectorConfig, under_mesh: bool = False,
     total = sum(math.ceil(h / s) * math.ceil(w / s) for s in (4, 8, 16, 32))
     if total * config.fpn_channels * 4 <= 8 * 2**20:
         return "resident"
-    return "windowed"
+    return "" if needs_grad else "windowed"
 
 
 def batched_roi_align(pyramid, proposals, config: DetectorConfig,

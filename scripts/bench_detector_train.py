@@ -60,6 +60,11 @@ def main():
         np.asarray(jax.device_get(leaf.ravel()[:1]))
 
     for backend in args.backends:
+        if backend != "gather" and jax.default_backend() != "tpu":
+            # forced roi_backend bypasses _use_pallas_roi's TPU check; the
+            # Mosaic kernels don't lower on CPU
+            print(f"{backend}: skipped (needs the TPU backend)")
+            continue
         config = DetectorConfig(min_size=args.min_size, max_size=args.max_size,
                                 rpn_pre_nms_top_n=500, rpn_post_nms_top_n=300,
                                 roi_backend=backend)

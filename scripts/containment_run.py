@@ -103,9 +103,8 @@ def train(root: Path, epochs: int, resume: bool) -> None:
         "train_containment_file": "x", "dev_sample_dir": "x",
         "dev_labels_dir": "x", "dev_containment_file": "x",
     }
-    import json as _json
-    model_config = _json.loads((Path(__file__).resolve().parent.parent /
-                                "configs" / "opnet_model_config.json").read_text())
+    from objectpermanence_tpu.config import load_model_config
+    model_config = load_model_config("opnet")
     result = training_main(spec, datasets["train"], datasets["dev"],
                            train_config, model_config, resume=resume)
     print(f"[train] best dev mIoU: {result.best_dev_iou:.4f}", flush=True)
@@ -128,9 +127,8 @@ def analyze(root: Path) -> None:
         "model_path": str(best),
         "cache_dir": str(root / "cache"),
     }
-    import json as _json
-    model_config = _json.loads((Path(__file__).resolve().parent.parent /
-                                "configs" / "opnet_model_config.json").read_text())
+    from objectpermanence_tpu.config import load_model_config
+    model_config = load_model_config("opnet")
     reasoning_inference_main("opnet", str(results_dir), inference_config,
                              model_config)
     ann = test_dir / "annotations"

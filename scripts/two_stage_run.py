@@ -39,8 +39,9 @@ import numpy as np
 SPLITS = ("train", "dev", "test")
 
 # the shipped reference-format config is the single source of truth
-MODEL_CONFIG = json.loads((Path(__file__).resolve().parent.parent /
-                           "configs" / "opnet_model_config.json").read_text())
+from objectpermanence_tpu.config import load_model_config
+
+MODEL_CONFIG = load_model_config("opnet")
 
 
 def detector_config():

@@ -30,9 +30,10 @@ DEFAULT_MODELS = ("opnet", "opnet_lstm_mlp", "baseline_lstm",
 
 # single source of truth: the shipped configs/<model>_model_config.json
 # (same files and keys as the reference's configs/)
-_CONFIGS_DIR = Path(__file__).resolve().parent.parent / "configs"
+from objectpermanence_tpu.config import load_model_config
+
 MODEL_CONFIGS = {
-    m: json.loads((_CONFIGS_DIR / f"{m}_model_config.json").read_text())
+    m: load_model_config(m)
     for m in ("opnet", "opnet_lstm_mlp", "baseline_lstm",
               "non_linear_lstm", "transformer_lstm")
 }

@@ -52,7 +52,7 @@ def test_probe_gives_up_without_raising(monkeypatch, capsys):
     calls = _patched(monkeypatch, ["fail"] * 4)
     bench._wait_for_backend(max_attempts=4)
     assert len(calls) == 4
-    err = capsys.readouterr().err
-    assert "proceeding anyway" in err
+    captured = capsys.readouterr()
+    assert "proceeding anyway" in captured.err
     # stdout stays clean: the one-JSON-line contract
-    assert capsys.readouterr().out == ""
+    assert captured.out == ""
