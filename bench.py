@@ -111,19 +111,34 @@ def _wait_for_backend(max_attempts: int = 4, probe_timeout: float = 120.0,
     usually succeeds (CLAUDE.md). Probe in a subprocess with a hard timeout
     (covers both failure modes without wedging this process) and only
     proceed once a probe init succeeds. Retry chatter goes to stderr; the
-    one-JSON-line stdout contract is preserved."""
+    one-JSON-line stdout contract is preserved. The probe runs in its own
+    process group with file-redirected output — subprocess.run with
+    capture_output + timeout can block forever in its post-timeout
+    communicate() when the killed backend child leaves a helper process
+    holding the pipe."""
+    import signal
     import subprocess
+    import tempfile
     for attempt in range(max_attempts):
-        try:
-            r = subprocess.run(
+        with tempfile.TemporaryFile() as err:
+            proc = subprocess.Popen(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_timeout, capture_output=True)
-            if r.returncode == 0:
-                return
-            msg = r.stderr.decode(errors="replace").strip().splitlines()
-            msg = msg[-1][:160] if msg else f"exit {r.returncode}"
-        except subprocess.TimeoutExpired:
-            msg = f"probe hung >{probe_timeout:.0f}s"
+                stdout=subprocess.DEVNULL, stderr=err,
+                start_new_session=True)
+            try:
+                rc = proc.wait(timeout=probe_timeout)
+                if rc == 0:
+                    return
+                err.seek(0)
+                lines = err.read().decode(errors="replace").strip().splitlines()
+                msg = lines[-1][:160] if lines else f"exit {rc}"
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+                msg = f"probe hung >{probe_timeout:.0f}s"
         if attempt + 1 == max_attempts:
             print(f"bench: backend still unavailable after {max_attempts} "
                   f"probes ({msg}); proceeding anyway", file=sys.stderr,
