@@ -20,7 +20,8 @@ from objectpermanence_tpu.ops.boxes import FRAME_SHAPES
 from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_batch
 
 
-def make_predict_step(spec: ModelSpec, out_dtype=np.int32):
+def make_predict_step(spec: ModelSpec, out_dtype=np.int32,
+                      compute_dtype=None, time_chunk: int = 1):
     """Jit forward -> integer pixel boxes. On TPU backends the OPNet family
     runs the fully-fused Pallas kernel, and the other models' LSTM
     recurrences use the fused Pallas scan (`ops/pallas_scan.py`); elsewhere
@@ -28,15 +29,25 @@ def make_predict_step(spec: ModelSpec, out_dtype=np.int32):
 
     `out_dtype` picks the D2H wire format: int32 matches the reference's
     output arrays (`inference_main.py:219`); int16 is lossless for 320x240
-    pixel coordinates and halves host-transfer bytes (serving path)."""
+    pixel coordinates and halves host-transfer bytes (serving path).
+
+    `compute_dtype`/`time_chunk` tune the fused OPNet kernel only (see
+    `opnet_fused_forward`): bf16 compute trades ~1 px of box precision for
+    matmul throughput; time_chunk>1 amortizes per-grid-step overhead.
+    Defaults (f32, 1) preserve exact parity with the XLA path."""
+    import jax.numpy as jnp
+
     on_tpu = jax.default_backend() == "tpu"
     use_fused_opnet = on_tpu and spec.name.startswith("opnet") and "mlp" not in spec.name
+    fused_dtype = compute_dtype if compute_dtype is not None else jnp.float32
 
     @jax.jit
     def predict_step(params, boxes):
         if use_fused_opnet:
             from objectpermanence_tpu.ops.pallas_scan import opnet_fused_forward
-            out, _ = opnet_fused_forward(params, boxes)
+            out, _ = opnet_fused_forward(params, boxes,
+                                         compute_dtype=fused_dtype,
+                                         time_chunk=time_chunk)
         elif spec.double_output:
             with lstm_ops.fused_scan(on_tpu):
                 out, _ = spec.apply(params, boxes)

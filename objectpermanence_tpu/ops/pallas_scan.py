@@ -318,7 +318,8 @@ def lstm_scan_pallas(params, x, *, block_b: int = DEFAULT_BLOCK_B,
 
 def _opnet_kernel(xproj1_ref, boxes_fm_ref, w1_hh_ref, w_att_ref, w2_ih_ref,
                   w2_hh_ref, w_head_ref, y_ref, logits_ref,
-                  h1_ref, c1_ref, h2_ref, c2_ref, *, num_objects, feat):
+                  h1_ref, c1_ref, h2_ref, c2_ref, *, num_objects, feat,
+                  time_chunk):
     att_hidden = w1_hh_ref.shape[0]
     vid_hidden = w2_hh_ref.shape[0]
     t = pl.program_id(1)
@@ -330,61 +331,77 @@ def _opnet_kernel(xproj1_ref, boxes_fm_ref, w1_hh_ref, w_att_ref, w2_ih_ref,
         h2_ref[:] = jnp.zeros_like(h2_ref)
         c2_ref[:] = jnp.zeros_like(c2_ref)
 
-    # --- stage 1: who-to-attend LSTM step ---
-    gates1 = xproj1_ref[0] + jnp.dot(h1_ref[:], w1_hh_ref[:],
-                                     preferred_element_type=jnp.float32)
-    i1 = _sigmoid(gates1[:, 0 * att_hidden:1 * att_hidden])
-    f1 = _sigmoid(gates1[:, 1 * att_hidden:2 * att_hidden])
-    g1 = jnp.tanh(gates1[:, 2 * att_hidden:3 * att_hidden])
-    o1 = _sigmoid(gates1[:, 3 * att_hidden:4 * att_hidden])
-    c1 = f1 * c1_ref[:] + i1 * g1
-    h1 = o1 * jnp.tanh(c1)
-    c1_ref[:] = c1
-    h1_ref[:] = h1
+    # `time_chunk` consecutive recurrence steps per grid invocation
+    # (statically unrolled) — amortizes the v5e per-grid-step overhead
+    # over TC steps while the streamed blocks stay TC-times larger.
+    for k in range(time_chunk):
+        # --- stage 1: who-to-attend LSTM step ---
+        gates1 = xproj1_ref[k] + jnp.dot(h1_ref[:], w1_hh_ref[:],
+                                         preferred_element_type=jnp.float32)
+        i1 = _sigmoid(gates1[:, 0 * att_hidden:1 * att_hidden])
+        f1 = _sigmoid(gates1[:, 1 * att_hidden:2 * att_hidden])
+        g1 = jnp.tanh(gates1[:, 2 * att_hidden:3 * att_hidden])
+        o1 = _sigmoid(gates1[:, 3 * att_hidden:4 * att_hidden])
+        c1 = f1 * c1_ref[:] + i1 * g1
+        h1 = o1 * jnp.tanh(c1)
+        c1_ref[:] = c1
+        h1_ref[:] = h1
 
-    # --- attention over the 15 object slots ---
-    logits = jnp.dot(h1, w_att_ref[:], preferred_element_type=jnp.float32)
-    logits_ref[0] = logits
-    probs = jax.nn.softmax(logits, axis=-1)
+        # --- attention over the 15 object slots ---
+        logits = jnp.dot(h1, w_att_ref[:], preferred_element_type=jnp.float32)
+        logits_ref[k] = logits
+        probs = jax.nn.softmax(logits, axis=-1)
 
-    # --- soft box selection: boxes are laid out feature-major
-    # (o contiguous within each feature), so each feature is one
-    # static (B, num_objects) slice ---
-    boxes_fm = boxes_fm_ref[0]
-    sel_cols = []
-    for f in range(feat):
-        block = boxes_fm[:, f * num_objects:(f + 1) * num_objects]
-        sel_cols.append(jnp.sum(block * probs, axis=1, keepdims=True))
-    selected = jnp.concatenate(sel_cols, axis=1)  # (B, feat)
+        # --- soft box selection: boxes are laid out feature-major
+        # (o contiguous within each feature), so each feature is one
+        # static (B, num_objects) slice ---
+        boxes_fm = boxes_fm_ref[k]
+        sel_cols = []
+        for f in range(feat):
+            block = boxes_fm[:, f * num_objects:(f + 1) * num_objects]
+            sel_cols.append(jnp.sum(block * probs, axis=1, keepdims=True))
+        selected = jnp.concatenate(sel_cols, axis=1)  # (B, feat)
 
-    # --- stage 2: video LSTM step on the selected box ---
-    xproj2 = jnp.dot(selected, w2_ih_ref[:], preferred_element_type=jnp.float32)
-    gates2 = xproj2 + jnp.dot(h2_ref[:], w2_hh_ref[:],
-                              preferred_element_type=jnp.float32)
-    i2 = _sigmoid(gates2[:, 0 * vid_hidden:1 * vid_hidden])
-    f2 = _sigmoid(gates2[:, 1 * vid_hidden:2 * vid_hidden])
-    g2 = jnp.tanh(gates2[:, 2 * vid_hidden:3 * vid_hidden])
-    o2 = _sigmoid(gates2[:, 3 * vid_hidden:4 * vid_hidden])
-    c2 = f2 * c2_ref[:] + i2 * g2
-    h2 = o2 * jnp.tanh(c2)
-    c2_ref[:] = c2
-    h2_ref[:] = h2
+        # --- stage 2: video LSTM step on the selected box ---
+        xproj2 = jnp.dot(selected, w2_ih_ref[:],
+                         preferred_element_type=jnp.float32)
+        gates2 = xproj2 + jnp.dot(h2_ref[:], w2_hh_ref[:],
+                                  preferred_element_type=jnp.float32)
+        i2 = _sigmoid(gates2[:, 0 * vid_hidden:1 * vid_hidden])
+        f2 = _sigmoid(gates2[:, 1 * vid_hidden:2 * vid_hidden])
+        g2 = jnp.tanh(gates2[:, 2 * vid_hidden:3 * vid_hidden])
+        o2 = _sigmoid(gates2[:, 3 * vid_hidden:4 * vid_hidden])
+        c2 = f2 * c2_ref[:] + i2 * g2
+        h2 = o2 * jnp.tanh(c2)
+        c2_ref[:] = c2
+        h2_ref[:] = h2
 
-    y_ref[0] = jnp.dot(h2, w_head_ref[:], preferred_element_type=jnp.float32)
+        y_ref[k] = jnp.dot(h2, w_head_ref[:],
+                           preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret",
-                                             "compute_dtype"))
+                                             "compute_dtype", "time_chunk"))
 def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
-                        interpret: bool = False, compute_dtype=jnp.float32):
+                        interpret: bool = False, compute_dtype=jnp.float32,
+                        time_chunk: int = 1):
     """Fused OPNet forward: `boxes (B, T, O, F)` ->
     `(y (B, T, 4), logits (B, O, T))`, matching `models.reasoning.opnet_apply`
     to float tolerance.
 
     compute_dtype=jnp.bfloat16 runs the streamed activations and weights in
     bf16 (MXU accumulation stays f32 via preferred_element_type; the cell
-    carries stay f32 in VMEM) — ~2x matmul throughput at reduced precision."""
+    carries stay f32 in VMEM) — ~2x matmul throughput at reduced precision.
+
+    time_chunk=TC runs TC consecutive recurrence steps per grid invocation
+    (grid t-axis shrinks T -> T/TC), amortizing the per-grid-step dispatch
+    overhead; clamped down to the largest divisor of T. The streamed
+    xproj1 block grows TC-fold (TC * block_b * 4*H1 * itemsize, double
+    buffered) — keep TC * block_b modest or drop to bf16 so it fits VMEM."""
     batch, seq_len, num_objects, feat = boxes.shape
+    time_chunk = max(1, min(time_chunk, seq_len))
+    while seq_len % time_chunk:
+        time_chunk -= 1
     w1_ih = params["att_lstm"]["w_ih"].astype(compute_dtype)
     w1_hh = params["att_lstm"]["w_hh"].astype(compute_dtype)
     w_att = params["att_head"]["w"].astype(compute_dtype)
@@ -407,13 +424,16 @@ def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
     boxes_fm = jnp.transpose(boxes, (1, 0, 3, 2)).reshape(
         seq_len, padded_b, feat * num_objects).astype(compute_dtype)
 
-    grid = (padded_b // block_b, seq_len)
+    grid = (padded_b // block_b, seq_len // time_chunk)
     y, logits = pl.pallas_call(
-        functools.partial(_opnet_kernel, num_objects=num_objects, feat=feat),
+        functools.partial(_opnet_kernel, num_objects=num_objects, feat=feat,
+                          time_chunk=time_chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_b, 4 * att_hidden), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, block_b, feat * num_objects), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, 4 * att_hidden),
+                         lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, feat * num_objects),
+                         lambda b, t: (t, b, 0)),
             pl.BlockSpec((att_hidden, 4 * att_hidden), lambda b, t: (0, 0)),
             pl.BlockSpec((att_hidden, att_out), lambda b, t: (0, 0)),
             pl.BlockSpec((feat, 4 * vid_hidden), lambda b, t: (0, 0)),
@@ -421,8 +441,9 @@ def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
             pl.BlockSpec((vid_hidden, 4), lambda b, t: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, 4), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, block_b, att_out), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, 4), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, att_out),
+                         lambda b, t: (t, b, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((seq_len, padded_b, 4), boxes.dtype),

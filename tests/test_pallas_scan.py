@@ -42,6 +42,46 @@ def test_opnet_fused_matches_reference_apply():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("time_chunk", [2, 5, 10])
+def test_opnet_fused_time_chunk_matches_reference(time_chunk):
+    # TC consecutive recurrence steps per grid invocation must be
+    # numerically identical work, just re-blocked along time
+    spec = get_model_spec("opnet")
+    params = spec.init(jax.random.PRNGKey(5), OPNET_CFG)
+    boxes = jnp.asarray(np.random.RandomState(5).rand(4, 10, 15, 6), jnp.float32)
+    ref_y, ref_logits = spec.apply(params, boxes)
+    got_y, got_logits = opnet_fused_forward(params, boxes, block_b=8,
+                                            interpret=True,
+                                            time_chunk=time_chunk)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_opnet_fused_time_chunk_clamps_to_divisor():
+    # T=9: requested chunk 6 is not a divisor -> clamped to 3; result exact
+    spec = get_model_spec("opnet")
+    params = spec.init(jax.random.PRNGKey(6), OPNET_CFG)
+    boxes = jnp.asarray(np.random.RandomState(6).rand(3, 9, 15, 6), jnp.float32)
+    ref_y, _ = spec.apply(params, boxes)
+    got_y, _ = opnet_fused_forward(params, boxes, block_b=8, interpret=True,
+                                   time_chunk=6)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_opnet_fused_bf16_time_chunk_combined():
+    spec = get_model_spec("opnet")
+    params = spec.init(jax.random.PRNGKey(7), OPNET_CFG)
+    boxes = jnp.asarray(np.random.RandomState(7).rand(4, 10, 15, 6), jnp.float32)
+    y32, _ = opnet_fused_forward(params, boxes, block_b=8, interpret=True)
+    y16, _ = opnet_fused_forward(params, boxes, block_b=8, interpret=True,
+                                 compute_dtype=jnp.bfloat16, time_chunk=5)
+    rel = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-9))
+    assert rel < 0.05
+
+
 def test_opnet_fused_bf16_close_to_f32():
     spec = get_model_spec("opnet")
     params = spec.init(jax.random.PRNGKey(3), OPNET_CFG)
