@@ -104,7 +104,7 @@ def _load_real(spec, init_params):
         return None, f"synthetic ({type(exc).__name__})"
 
 
-def _wait_for_backend(max_attempts: int = 4, probe_timeout: float = 120.0,
+def _wait_for_backend(max_attempts: int = None, probe_timeout: float = 120.0,
                       sleep_s: float = 60.0) -> None:
     """The dev TPU tunnel wedges transiently — backend init either raises
     UNAVAILABLE fast or HANGS outright; a fresh process minutes later
@@ -119,6 +119,11 @@ def _wait_for_backend(max_attempts: int = 4, probe_timeout: float = 120.0,
     import signal
     import subprocess
     import tempfile
+    if max_attempts is None:
+        # tunnel outages run minutes-to-hours; default to ~30 min of
+        # patience, tunable for unattended runs (BENCH_PROBE_ATTEMPTS=20
+        # waits ~1 h, =1 probes once)
+        max_attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "10"))
     for attempt in range(max_attempts):
         with tempfile.TemporaryFile() as err:
             proc = subprocess.Popen(

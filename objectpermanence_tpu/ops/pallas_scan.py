@@ -34,6 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_B = 256
 
 
+def _clamp_time_chunk(time_chunk: int, seq_len: int) -> int:
+    """Largest divisor of seq_len that is <= the requested chunk."""
+    time_chunk = max(1, min(time_chunk, seq_len))
+    while seq_len % time_chunk:
+        time_chunk -= 1
+    return time_chunk
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
@@ -68,7 +76,8 @@ def _lstm_kernel(xproj_ref, w_hh_ref, out_ref, h_ref, c_ref):
 # Custom-VJP fused LSTM: forward + reverse-time backward kernels
 # ---------------------------------------------------------------------------
 
-def _lstm_fwd_kernel(xproj_ref, w_hh_ref, out_h_ref, out_c_ref, h_ref, c_ref):
+def _lstm_fwd_kernel(xproj_ref, w_hh_ref, out_h_ref, out_c_ref, h_ref, c_ref,
+                     *, time_chunk=1):
     hidden = w_hh_ref.shape[0]
     t = pl.program_id(1)
 
@@ -77,25 +86,29 @@ def _lstm_fwd_kernel(xproj_ref, w_hh_ref, out_h_ref, out_c_ref, h_ref, c_ref):
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    gates = xproj_ref[0] + jnp.dot(h_ref[:], w_hh_ref[:],
-                                   preferred_element_type=jnp.float32)
-    i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
-    f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-    o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
-    c = f * c_ref[:] + i * g
-    h = o * jnp.tanh(c)
-    c_ref[:] = c
-    h_ref[:] = h
-    out_h_ref[0] = h
-    out_c_ref[0] = c
+    # statically unrolled chunk of consecutive steps per grid invocation
+    # (amortizes the v5e per-grid-step overhead; exact same math)
+    for k in range(time_chunk):
+        gates = xproj_ref[k] + jnp.dot(h_ref[:], w_hh_ref[:],
+                                       preferred_element_type=jnp.float32)
+        i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
+        f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
+        c = f * c_ref[:] + i * g
+        h = o * jnp.tanh(c)
+        c_ref[:] = c
+        h_ref[:] = h
+        out_h_ref[k] = h
+        out_c_ref[k] = c
 
 
 def _lstm_bwd_kernel(xproj_ref, h_prev_ref, c_prev_ref, c_ref, dh_out_ref,
                      w_hh_ref, dxproj_ref, dwhh_ref,
-                     dh_ref, dc_ref, dwhh_acc):
-    """One reversed time step: recompute gates from residuals, propagate
-    (dh, dc) backwards, emit dgates (== dxproj) and accumulate dW_hh."""
+                     dh_ref, dc_ref, dwhh_acc, *, time_chunk=1):
+    """One reversed time CHUNK: recompute gates from residuals, propagate
+    (dh, dc) backwards through `time_chunk` steps (latest-first within the
+    block), emit dgates (== dxproj) and accumulate dW_hh."""
     hidden = w_hh_ref.shape[0]
     t_rev = pl.program_id(1)
     num_t = pl.num_programs(1)
@@ -106,55 +119,62 @@ def _lstm_bwd_kernel(xproj_ref, h_prev_ref, c_prev_ref, c_ref, dh_out_ref,
         dc_ref[:] = jnp.zeros_like(dc_ref)
         dwhh_acc[:] = jnp.zeros_like(dwhh_acc)
 
-    h_prev = h_prev_ref[0]
-    gates = xproj_ref[0] + jnp.dot(h_prev, w_hh_ref[:],
-                                   preferred_element_type=jnp.float32)
-    i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
-    f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
-    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-    o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
+    # blocks arrive in reverse time order; within a block, walk the steps
+    # from latest (k = TC-1) to earliest (k = 0)
+    for k in reversed(range(time_chunk)):
+        h_prev = h_prev_ref[k]
+        gates = xproj_ref[k] + jnp.dot(h_prev, w_hh_ref[:],
+                                       preferred_element_type=jnp.float32)
+        i = _sigmoid(gates[:, 0 * hidden:1 * hidden])
+        f = _sigmoid(gates[:, 1 * hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(gates[:, 3 * hidden:4 * hidden])
 
-    dh_total = dh_out_ref[0] + dh_ref[:]
-    tanh_c = jnp.tanh(c_ref[0])
-    dc = dc_ref[:] + dh_total * o * (1.0 - tanh_c * tanh_c)
-    di = dc * g * i * (1.0 - i)
-    df = dc * c_prev_ref[0] * f * (1.0 - f)
-    dg = dc * i * (1.0 - g * g)
-    do = dh_total * tanh_c * o * (1.0 - o)
-    dgates = jnp.concatenate([di, df, dg, do], axis=1)      # (Bt, 4H)
+        dh_total = dh_out_ref[k] + dh_ref[:]
+        tanh_c = jnp.tanh(c_ref[k])
+        dc = dc_ref[:] + dh_total * o * (1.0 - tanh_c * tanh_c)
+        di = dc * g * i * (1.0 - i)
+        df = dc * c_prev_ref[k] * f * (1.0 - f)
+        dg = dc * i * (1.0 - g * g)
+        do = dh_total * tanh_c * o * (1.0 - o)
+        dgates = jnp.concatenate([di, df, dg, do], axis=1)      # (Bt, 4H)
 
-    dxproj_ref[0] = dgates
-    # dW_hh += h_prev^T @ dgates (contract the batch dim, no transpose op)
-    dwhh_acc[:] = dwhh_acc[:] + jax.lax.dot_general(
-        h_prev, dgates, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # carry to the previous step
-    dh_ref[:] = jax.lax.dot_general(
-        dgates, w_hh_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dc_ref[:] = dc * f
+        dxproj_ref[k] = dgates
+        # dW_hh += h_prev^T @ dgates (contract the batch dim, no transpose op)
+        dwhh_acc[:] = dwhh_acc[:] + jax.lax.dot_general(
+            h_prev, dgates, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # carry to the previous step
+        dh_ref[:] = jax.lax.dot_general(
+            dgates, w_hh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dc_ref[:] = dc * f
 
     @pl.when(t_rev == num_t - 1)
     def _():
         dwhh_ref[0] = dwhh_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def _lstm_fwd_pallas(w_hh, xproj, *, block_b: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "time_chunk"))
+def _lstm_fwd_pallas(w_hh, xproj, *, block_b: int, interpret: bool,
+                     time_chunk: int = 1):
     """xproj: time-major (T, B, 4H) -> (hs (T, B, H), cs (T, B, H))."""
     seq_len, batch, _ = xproj.shape
     hidden = w_hh.shape[0]
-    grid = (batch // block_b, seq_len)
+    time_chunk = _clamp_time_chunk(time_chunk, seq_len)
+    grid = (batch // block_b, seq_len // time_chunk)
     return pl.pallas_call(
-        _lstm_fwd_kernel,
+        functools.partial(_lstm_fwd_kernel, time_chunk=time_chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_b, 4 * hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, 4 * hidden),
+                         lambda b, t: (t, b, 0)),
             pl.BlockSpec((hidden, 4 * hidden), lambda b, t: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, hidden), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, block_b, hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, hidden), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((time_chunk, block_b, hidden), lambda b, t: (t, b, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((seq_len, batch, hidden), xproj.dtype),
@@ -168,32 +188,37 @@ def _lstm_fwd_pallas(w_hh, xproj, *, block_b: int, interpret: bool):
     )(xproj, w_hh)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "time_chunk"))
 def _lstm_bwd_pallas(w_hh, xproj, h_prev, c_prev, cs, dh_out, *,
-                     block_b: int, interpret: bool):
+                     block_b: int, interpret: bool, time_chunk: int = 1):
     """Reverse-time backward. All sequence inputs time-major (T, B, .).
     Returns (dxproj (T, B, 4H), dwhh_partial (num_btiles, H, 4H))."""
     seq_len, batch, _ = xproj.shape
     hidden = w_hh.shape[0]
+    time_chunk = _clamp_time_chunk(time_chunk, seq_len)
     nb = batch // block_b
-    grid = (nb, seq_len)
+    num_tblocks = seq_len // time_chunk
+    grid = (nb, num_tblocks)
 
     def rev(b, t):
-        return (seq_len - 1 - t, b, 0)
+        # time BLOCKS stream in reverse order; the kernel walks the steps
+        # inside each block latest-first
+        return (num_tblocks - 1 - t, b, 0)
 
     return pl.pallas_call(
-        _lstm_bwd_kernel,
+        functools.partial(_lstm_bwd_kernel, time_chunk=time_chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_b, 4 * hidden), rev),
-            pl.BlockSpec((1, block_b, hidden), rev),
-            pl.BlockSpec((1, block_b, hidden), rev),
-            pl.BlockSpec((1, block_b, hidden), rev),
-            pl.BlockSpec((1, block_b, hidden), rev),
+            pl.BlockSpec((time_chunk, block_b, 4 * hidden), rev),
+            pl.BlockSpec((time_chunk, block_b, hidden), rev),
+            pl.BlockSpec((time_chunk, block_b, hidden), rev),
+            pl.BlockSpec((time_chunk, block_b, hidden), rev),
+            pl.BlockSpec((time_chunk, block_b, hidden), rev),
             pl.BlockSpec((hidden, 4 * hidden), lambda b, t: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_b, 4 * hidden), rev),
+            pl.BlockSpec((time_chunk, block_b, 4 * hidden), rev),
             pl.BlockSpec((1, hidden, 4 * hidden), lambda b, t: (b, 0, 0)),
         ),
         out_shape=(
@@ -211,6 +236,12 @@ def _lstm_bwd_pallas(w_hh, xproj, h_prev, c_prev, cs, dh_out, *,
 
 BWD_BLOCK_B = 64  # backward streams 6 per-step buffers; keep VMEM in budget
 _INTERPRET_VJP = False  # flipped by tests to run the kernels on CPU
+# steps per grid invocation for the custom-VJP kernels (1 = one step per
+# invocation, the pre-tuning behavior). Module-level knobs rather than call
+# args because lstm_scan_fused is a custom_vjp primitive whose signature is
+# (params, x); set them BEFORE the enclosing train/predict step is traced.
+FWD_TIME_CHUNK = 1
+BWD_TIME_CHUNK = 1
 
 
 def _pad_batch(x, block_b):
@@ -234,7 +265,8 @@ def _fused_fwd(params, x):
     xp = _pad_batch(x, block_b)
     xproj = jnp.einsum("btd,dh->tbh", xp, params["w_ih"])
     hs, cs = _lstm_fwd_pallas(params["w_hh"], xproj, block_b=block_b,
-                              interpret=_INTERPRET_VJP)
+                              interpret=_INTERPRET_VJP,
+                              time_chunk=FWD_TIME_CHUNK)
     out = jnp.moveaxis(hs, 0, 1)[:batch]
     return out, (params, x, hs, cs)
 
@@ -267,7 +299,8 @@ def _fused_bwd(residuals, dout):
 
     dxproj, dwhh_parts = _lstm_bwd_pallas(
         params["w_hh"], xproj, h_prev, c_prev, cs, dh_out,
-        block_b=block_b, interpret=_INTERPRET_VJP)
+        block_b=block_b, interpret=_INTERPRET_VJP,
+        time_chunk=BWD_TIME_CHUNK)
     d_w_hh = jnp.sum(dwhh_parts, axis=0).astype(params["w_hh"].dtype)
     d_w_ih = jnp.einsum("btd,tbh->dh", xp, dxproj).astype(params["w_ih"].dtype)
     dx = jnp.einsum("tbh,dh->btd", dxproj, params["w_ih"])[:batch]
@@ -399,9 +432,7 @@ def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
     xproj1 block grows TC-fold (TC * block_b * 4*H1 * itemsize, double
     buffered) — keep TC * block_b modest or drop to bf16 so it fits VMEM."""
     batch, seq_len, num_objects, feat = boxes.shape
-    time_chunk = max(1, min(time_chunk, seq_len))
-    while seq_len % time_chunk:
-        time_chunk -= 1
+    time_chunk = _clamp_time_chunk(time_chunk, seq_len)
     w1_ih = params["att_lstm"]["w_ih"].astype(compute_dtype)
     w1_hh = params["att_lstm"]["w_hh"].astype(compute_dtype)
     w_att = params["att_head"]["w"].astype(compute_dtype)

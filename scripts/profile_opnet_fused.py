@@ -43,6 +43,46 @@ CONFIGS = [
 ]
 ITERS = 24  # >=20 chained dispatches amortize the tunnel floor (CLAUDE.md)
 
+# (FWD_TIME_CHUNK, BWD_TIME_CHUNK) combos for the custom-VJP train kernels
+TRAIN_CONFIGS = [(1, 1), (5, 1), (1, 5), (5, 5), (10, 5), (10, 10)]
+
+
+def train_sweep(args) -> None:
+    """Time grad-of-sum through lstm_scan_fused at the video-LSTM dims
+    (the heavier of OPNet's two recurrences) across time-chunk knobs."""
+    from objectpermanence_tpu.ops import pallas_scan as ps
+    from objectpermanence_tpu.ops.lstm import lstm_init
+
+    params = lstm_init(jax.random.PRNGKey(0), 6, 512)
+    x = jax.device_put(np.random.RandomState(0).rand(
+        args.batch // 2, args.frames, 6).astype(np.float32))
+    frames = x.shape[0] * args.frames
+
+    for fwd_tc, bwd_tc in TRAIN_CONFIGS:
+        tag = f"fwd_tc={fwd_tc:2d} bwd_tc={bwd_tc:2d}"
+        try:
+            ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK = fwd_tc, bwd_tc
+            # fresh jit per config: the knobs are read at trace time
+            grad = jax.jit(jax.grad(
+                lambda p, xx: jnp.sum(ps.lstm_scan_fused(p, xx) ** 2)))
+            g = grad(params, x)
+            np.asarray(g["w_hh"][0, 0])
+            best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                for _ in range(args.iters):
+                    g = grad(params, x)
+                np.asarray(g["w_hh"][0, 0])
+                best = min(best, time.perf_counter() - start)
+            ms = best / args.iters * 1e3
+            print(f"{tag}: {frames / (best / args.iters) / 1e6:8.2f} Mfps  "
+                  f"{ms:7.3f} ms/step", flush=True)
+        except Exception as exc:
+            msg = str(exc).replace("\n", " ")[:120]
+            print(f"{tag}: FAILED ({type(exc).__name__}: {msg})", flush=True)
+        finally:
+            ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK = 1, 1
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -52,6 +92,8 @@ def main() -> None:
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU smoke test; not a "
                          "performance measurement)")
+    ap.add_argument("--train", action="store_true",
+                    help="also sweep the custom-VJP train-kernel time chunks")
     args = ap.parse_args()
     if args.interpret:
         jax.config.update("jax_platforms", "cpu")
@@ -87,6 +129,12 @@ def main() -> None:
         except Exception as exc:  # VMEM OOM / Mosaic lowering: report, go on
             msg = str(exc).replace("\n", " ")[:120]
             print(f"{tag}: FAILED ({type(exc).__name__}: {msg})", flush=True)
+
+    if args.train:
+        from objectpermanence_tpu.ops import pallas_scan as ps
+        ps._INTERPRET_VJP = args.interpret
+        print("--- custom-VJP train kernels (video-LSTM dims) ---", flush=True)
+        train_sweep(args)
 
 
 if __name__ == "__main__":

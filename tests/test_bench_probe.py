@@ -69,6 +69,14 @@ def test_probe_retries_through_hang_and_failure(monkeypatch):
     assert killed == [999999]  # the hung probe's whole group was killed
 
 
+def test_probe_attempts_from_env(monkeypatch):
+    # unattended runs tune patience via BENCH_PROBE_ATTEMPTS
+    calls, _ = _patched(monkeypatch, ["fail", "fail", "ok"])
+    monkeypatch.setenv("BENCH_PROBE_ATTEMPTS", "2")
+    bench._wait_for_backend()
+    assert calls == ["fail", "fail"]  # gave up after the env budget
+
+
 def test_probe_gives_up_without_raising(monkeypatch, capsys):
     calls, _ = _patched(monkeypatch, ["fail"] * 4)
     bench._wait_for_backend(max_attempts=4)

@@ -74,6 +74,35 @@ def test_fused_gradients_batch_not_multiple_of_bwd_block():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("fwd_tc,bwd_tc", [(4, 1), (1, 4), (4, 4), (5, 3)])
+def test_fused_time_chunked_value_and_grads_match(fwd_tc, bwd_tc):
+    # chunked kernels re-block the time axis only: values stay bit-exact
+    # vs the unchunked kernels and grads match lax.scan autodiff. T=8 with
+    # chunk 5/3 also exercises the clamp-to-divisor path (5 -> 4, 3 -> 2).
+    params = lstm_init(jax.random.PRNGKey(6), 16, 32)
+    x = jnp.asarray(np.random.RandomState(7).rand(3, 8, 16), jnp.float32)
+    ref_val = ps.lstm_scan_fused(params, x)
+
+    def loss(fn):
+        return lambda p, xx: jnp.sum(fn(p, xx) ** 2)
+
+    ref = jax.grad(loss(lstm_apply), argnums=(0, 1))(params, x)
+    old = ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK
+    try:
+        ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK = fwd_tc, bwd_tc
+        got_val = ps.lstm_scan_fused(params, x)
+        got = jax.grad(loss(ps.lstm_scan_fused), argnums=(0, 1))(params, x)
+    finally:
+        ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK = old
+    np.testing.assert_array_equal(np.asarray(got_val), np.asarray(ref_val))
+    np.testing.assert_allclose(np.asarray(got[0]["w_hh"]),
+                               np.asarray(ref[0]["w_hh"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[0]["w_ih"]),
+                               np.asarray(ref[0]["w_ih"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_gradients_with_batch_padding():
     # batch 5 pads to the block size internally; grads must not leak padding
     params = lstm_init(jax.random.PRNGKey(2), 12, 16)
