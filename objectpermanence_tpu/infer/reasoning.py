@@ -21,7 +21,7 @@ from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_ba
 
 
 def make_predict_step(spec: ModelSpec, out_dtype=np.int32,
-                      compute_dtype=None, time_chunk: int = 1):
+                      compute_dtype=None, time_chunk: int = None):
     """Jit forward -> integer pixel boxes. On TPU backends the OPNet family
     runs the fully-fused Pallas kernel, and the other models' LSTM
     recurrences use the fused Pallas scan (`ops/pallas_scan.py`); elsewhere
@@ -33,8 +33,9 @@ def make_predict_step(spec: ModelSpec, out_dtype=np.int32,
 
     `compute_dtype`/`time_chunk` tune the fused OPNet kernel only (see
     `opnet_fused_forward`): bf16 compute trades ~1 px of box precision for
-    matmul throughput; time_chunk>1 amortizes per-grid-step overhead.
-    Defaults (f32, 1) preserve exact parity with the XLA path."""
+    matmul throughput; time_chunk=None picks the dtype's v5e-tuned config
+    (TUNED_OPNET_BLOCKS). The f32 default preserves exact parity with the
+    XLA path (the tuned f32 time blocking is bit-identical)."""
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"

@@ -33,6 +33,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_B = 256
 
+# v5e-tuned (block_b, time_chunk) for the fused OPNet kernel at the reference
+# dims (att 256 / video 512 hidden), keyed by compute dtype. From the on-chip
+# sweep (scripts/profile_opnet_fused.py, 2026-08-18): f32 (128, 5) 27.1 Mfps
+# with BIT-EXACT output vs the old (256, 1)'s 26.5; bf16 (128, 10) 30.3 Mfps.
+# Fatter blocks ((256, >=5) f32, (512, *), (128, 25) bf16) exceed the ~16 MB
+# scoped-VMEM limit: the chunked xproj1 stream is time_chunk*block_b*4*H1*
+# itemsize, double-buffered.
+TUNED_OPNET_BLOCKS = {
+    jnp.dtype(jnp.float32): (128, 5),
+    jnp.dtype(jnp.bfloat16): (128, 10),
+}
+
 
 def _clamp_time_chunk(time_chunk: int, seq_len: int) -> int:
     """Largest divisor of seq_len that is <= the requested chunk."""
@@ -242,6 +254,11 @@ _INTERPRET_VJP = False  # flipped by tests to run the kernels on CPU
 # (params, x); set them BEFORE the enclosing train/predict step is traced.
 FWD_TIME_CHUNK = 1
 BWD_TIME_CHUNK = 1
+# batch-tile width for the forward train kernel; chunked time blocks stream
+# time_chunk * block_b * 6H floats per grid step, so raising FWD_TIME_CHUNK
+# usually requires lowering FWD_BLOCK_B to stay inside the ~16 MB scoped
+# VMEM limit (v5e: (5, 256) overflows, (5, 64) fits at H=512)
+FWD_BLOCK_B = DEFAULT_BLOCK_B
 
 
 def _pad_batch(x, block_b):
@@ -261,7 +278,7 @@ def lstm_scan_fused(params, x):
 
 def _fused_fwd(params, x):
     batch = x.shape[0]
-    block_b = min(DEFAULT_BLOCK_B, max(8, batch))
+    block_b = min(FWD_BLOCK_B, max(8, batch))
     xp = _pad_batch(x, block_b)
     xproj = jnp.einsum("btd,dh->tbh", xp, params["w_ih"])
     hs, cs = _lstm_fwd_pallas(params["w_hh"], xproj, block_b=block_b,
@@ -415,9 +432,9 @@ def _opnet_kernel(xproj1_ref, boxes_fm_ref, w1_hh_ref, w_att_ref, w2_ih_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret",
                                              "compute_dtype", "time_chunk"))
-def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
+def opnet_fused_forward(params, boxes, *, block_b: int = None,
                         interpret: bool = False, compute_dtype=jnp.float32,
-                        time_chunk: int = 1):
+                        time_chunk: int = None):
     """Fused OPNet forward: `boxes (B, T, O, F)` ->
     `(y (B, T, 4), logits (B, O, T))`, matching `models.reasoning.opnet_apply`
     to float tolerance.
@@ -430,8 +447,17 @@ def opnet_fused_forward(params, boxes, *, block_b: int = DEFAULT_BLOCK_B,
     (grid t-axis shrinks T -> T/TC), amortizing the per-grid-step dispatch
     overhead; clamped down to the largest divisor of T. The streamed
     xproj1 block grows TC-fold (TC * block_b * 4*H1 * itemsize, double
-    buffered) — keep TC * block_b modest or drop to bf16 so it fits VMEM."""
+    buffered) — keep TC * block_b modest or drop to bf16 so it fits VMEM.
+
+    block_b/time_chunk default to the dtype's v5e-tuned production config
+    (TUNED_OPNET_BLOCKS); pass them explicitly to override."""
     batch, seq_len, num_objects, feat = boxes.shape
+    tuned = TUNED_OPNET_BLOCKS.get(jnp.dtype(compute_dtype),
+                                   (DEFAULT_BLOCK_B, 1))
+    if block_b is None:
+        block_b = tuned[0]
+    if time_chunk is None:
+        time_chunk = tuned[1]
     time_chunk = _clamp_time_chunk(time_chunk, seq_len)
     w1_ih = params["att_lstm"]["w_ih"].astype(compute_dtype)
     w1_hh = params["att_lstm"]["w_hh"].astype(compute_dtype)

@@ -28,23 +28,33 @@ from objectpermanence_tpu.models.registry import get_model_spec
 from objectpermanence_tpu.ops.pallas_scan import opnet_fused_forward
 
 CONFIGS = [
-    # (block_b, time_chunk, dtype) — TC must divide 300 (clamped otherwise)
+    # (block_b, time_chunk, dtype) — TC must divide 300 (clamped otherwise).
+    # Chunked time blocks stream TC*block_b rows per grid step; v5e's ~16 MB
+    # scoped VMEM rejects (256, >=5, f32), (512, *, *), (128, 25, bf16):
+    # keep TC*block_b*itemsize modest (first-sweep results in the log).
     (256, 1, jnp.float32),   # current production default
-    (512, 1, jnp.float32),
     (256, 1, jnp.bfloat16),
-    (512, 1, jnp.bfloat16),
-    (256, 5, jnp.float32),
-    (256, 5, jnp.bfloat16),
-    (128, 10, jnp.float32),
-    (256, 10, jnp.bfloat16),
-    (128, 10, jnp.bfloat16),
-    (128, 25, jnp.bfloat16),
-    (64, 25, jnp.bfloat16),
+    (128, 5, jnp.float32),
+    (64, 5, jnp.float32),
+    (64, 10, jnp.float32),
+    (128, 10, jnp.bfloat16),  # first-sweep winner (29.2 Mfps)
+    (64, 15, jnp.bfloat16),
+    (128, 6, jnp.bfloat16),
+    (64, 20, jnp.bfloat16),
 ]
 ITERS = 24  # >=20 chained dispatches amortize the tunnel floor (CLAUDE.md)
 
-# (FWD_TIME_CHUNK, BWD_TIME_CHUNK) combos for the custom-VJP train kernels
-TRAIN_CONFIGS = [(1, 1), (5, 1), (1, 5), (5, 5), (10, 5), (10, 10)]
+# (FWD_TIME_CHUNK, FWD_BLOCK_B, BWD_TIME_CHUNK, BWD_BLOCK_B) combos for the
+# custom-VJP train kernels; VMEM rejects fwd (5, 256) and bwd (5, 64)
+TRAIN_CONFIGS = [
+    (1, 256, 1, 64),   # current production default
+    (5, 64, 1, 64),
+    (5, 128, 1, 64),
+    (10, 64, 1, 64),
+    (10, 32, 1, 64),
+    (5, 64, 3, 32),
+    (5, 64, 5, 16),
+]
 
 
 def train_sweep(args) -> None:
@@ -57,16 +67,25 @@ def train_sweep(args) -> None:
     x = jax.device_put(np.random.RandomState(0).rand(
         args.batch // 2, args.frames, 6).astype(np.float32))
     frames = x.shape[0] * args.frames
+    ref_grad = None
 
-    for fwd_tc, bwd_tc in TRAIN_CONFIGS:
-        tag = f"fwd_tc={fwd_tc:2d} bwd_tc={bwd_tc:2d}"
+    defaults = (ps.FWD_TIME_CHUNK, ps.FWD_BLOCK_B,
+                ps.BWD_TIME_CHUNK, ps.BWD_BLOCK_B)
+    for fwd_tc, fwd_bb, bwd_tc, bwd_bb in TRAIN_CONFIGS:
+        tag = (f"fwd_tc={fwd_tc:2d}@bb={fwd_bb:3d} "
+               f"bwd_tc={bwd_tc:2d}@bb={bwd_bb:3d}")
         try:
-            ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK = fwd_tc, bwd_tc
+            ps.FWD_TIME_CHUNK, ps.FWD_BLOCK_B = fwd_tc, fwd_bb
+            ps.BWD_TIME_CHUNK, ps.BWD_BLOCK_B = bwd_tc, bwd_bb
             # fresh jit per config: the knobs are read at trace time
             grad = jax.jit(jax.grad(
                 lambda p, xx: jnp.sum(ps.lstm_scan_fused(p, xx) ** 2)))
             g = grad(params, x)
-            np.asarray(g["w_hh"][0, 0])
+            gw = np.asarray(g["w_hh"])
+            if ref_grad is None:
+                ref_grad = gw
+            gerr = float(np.max(np.abs(gw - ref_grad))
+                         / max(np.max(np.abs(ref_grad)), 1e-9))
             best = float("inf")
             for _ in range(3):
                 start = time.perf_counter()
@@ -76,12 +95,13 @@ def train_sweep(args) -> None:
                 best = min(best, time.perf_counter() - start)
             ms = best / args.iters * 1e3
             print(f"{tag}: {frames / (best / args.iters) / 1e6:8.2f} Mfps  "
-                  f"{ms:7.3f} ms/step", flush=True)
+                  f"{ms:7.3f} ms/step  rel|dg|={gerr:.2e}", flush=True)
         except Exception as exc:
             msg = str(exc).replace("\n", " ")[:120]
             print(f"{tag}: FAILED ({type(exc).__name__}: {msg})", flush=True)
         finally:
-            ps.FWD_TIME_CHUNK, ps.BWD_TIME_CHUNK = 1, 1
+            (ps.FWD_TIME_CHUNK, ps.FWD_BLOCK_B,
+             ps.BWD_TIME_CHUNK, ps.BWD_BLOCK_B) = defaults
 
 
 def main() -> None:
