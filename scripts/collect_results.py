@@ -1,0 +1,69 @@
+"""Mirror compact result artifacts from /root/data into the repo.
+
+The dev containers are ephemeral: everything under /root/data (rendered
+videos, checkpoints, result CSVs) vanishes on a reset, which orphans the
+numbers quoted in STATUS.md. This script copies the SMALL evidence files
+(CSVs, json reports, metrics tails) into `results/` inside the repo so they
+can be committed and survive resets. Bulk artifacts (videos, ingest caches,
+orbax checkpoints) are deliberately excluded.
+
+Usage: python scripts/collect_results.py   (idempotent; copies what exists)
+"""
+
+import json
+import shutil
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "results"
+
+# (source, destination-under-results/) — compact evidence files only
+ARTIFACTS = [
+    # perfect-perception flagship (scripts/containment_run.py)
+    ("/root/data/sim4k/analysis.csv", "sim4k/perfect_analysis.csv"),
+    ("/root/data/sim4k/metrics.jsonl", "sim4k/perfect_train_metrics.jsonl"),
+    # REAL two-stage pipeline (scripts/two_stage_run.py)
+    ("/root/data/twostage/analysis.csv", "twostage/analysis.csv"),
+    ("/root/data/twostage/perception_stats.json",
+     "twostage/perception_stats.json"),
+    ("/root/data/twostage/detector/report.json", "twostage/detector_report.json"),
+    ("/root/data/twostage/metrics.jsonl", "twostage/opnet_train_metrics.jsonl"),
+    # CATER-setup grid accuracy (scripts/cater_grid_run.py)
+    ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
+    # unbiased-planner eval (scripts/unbiased_eval.py)
+    ("/root/data/unbiased/results.json", "unbiased/results.json"),
+    ("/root/data/unbiased/analysis_opnet.csv", "unbiased/analysis_opnet.csv"),
+    # tracker OPE benchmark (scripts/tracker_benchmark.py)
+    ("/root/data/trackbench3/results.json", "trackbench/results.json"),
+    # SiamRPN training log (scripts/siam_run.py prints, nohup captures)
+    ("/tmp/siam_run.log", "siam/train_log.txt"),
+    # variant sweep tables (scripts/variant_sweep.py)
+    ("/root/data/sim4k/sweep/results.json", "sim4k/sweep_full_results.json"),
+    ("/root/data/sim4k/sweep_160ep_800/results.json",
+     "sim4k/sweep_160ep_800_results.json"),
+]
+
+MAX_BYTES = 4 * 1024 * 1024  # refuse to copy anything bulky by accident
+
+
+def main() -> int:
+    copied, skipped = [], []
+    for src, dst in ARTIFACTS:
+        src_p = Path(src)
+        if not src_p.exists():
+            skipped.append(src)
+            continue
+        if src_p.stat().st_size > MAX_BYTES:
+            print(f"SKIP (too large): {src}", file=sys.stderr)
+            continue
+        dst_p = OUT / dst
+        dst_p.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(src_p, dst_p)
+        copied.append(dst)
+    print(json.dumps({"copied": copied, "missing": skipped}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
