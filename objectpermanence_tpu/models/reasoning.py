@@ -195,7 +195,8 @@ def transformer_lstm_init(key, config: Dict[str, int], dtype=jnp.float32) -> Par
 
 
 def transformer_lstm_apply(params: Params, boxes: jax.Array, *, precision=None,
-                           deterministic: bool = True, rng=None) -> jax.Array:
+                           deterministic: bool = True, rng=None,
+                           reference_compat: bool = False) -> jax.Array:
     """DELIBERATE DEVIATION from the reference: we run per-frame 15-token
     self-attention (objects attend to objects within their frame), which is
     what the reference's comments describe (`learned_models.py:181-184`).
@@ -206,14 +207,33 @@ def transformer_lstm_apply(params: Params, boxes: jax.Array, *, precision=None,
     videos share the batch. We treat that as a reference bug (like the
     `opent_no_labels` typo) and implement the intended semantics;
     consequence: reference-trained transformer_lstm checkpoints will not
-    reproduce bit-for-bit here. Parity is tested against a torch model
-    with batch_first=True (tests/test_model_parity.py)."""
+    reproduce bit-for-bit under the default semantics. Parity is tested
+    against a torch model with batch_first=True (tests/test_model_parity.py).
+
+    `reference_compat=True` (model-config key of the same name, threaded by
+    `registry.init_model`) reproduces the reference's ACTUAL semantics —
+    per object slot, attention over all batch*frames tokens — so
+    reference-trained checkpoints converted via
+    `models/convert_reasoning.py` validate bit-for-bit
+    (tests/test_pth_converter.py). Costs O((B*T)^2) attention, inherited
+    from the reference; keep eval batches small in this mode."""
     batch, frames, objects, feat = boxes.shape
     feats = jax.nn.relu(linear_apply(params["box_proj"], boxes, precision=precision))
-    tokens = feats.reshape(batch * frames, objects, -1)
-    attended = encoder_apply(params["encoder"], tokens, deterministic=deterministic,
-                             rng=rng, precision=precision)
-    # the snitch is always encoded as slot 0 of the frame
-    snitch = attended[:, 0, :].reshape(batch, frames, -1)
+    if reference_compat:
+        # torch reads (B*T, O, D) as (seq=B*T, batch=O, D): each of the 15
+        # object slots is one attention "sequence" of B*T tokens
+        tokens = feats.reshape(batch * frames, objects, -1).transpose(1, 0, 2)
+        attended = encoder_apply(params["encoder"], tokens,
+                                 deterministic=deterministic, rng=rng,
+                                 precision=precision)
+        # reference `attended_objects[:, 0, :]`: slot-0 (snitch) sequence
+        snitch = attended[0].reshape(batch, frames, -1)
+    else:
+        tokens = feats.reshape(batch * frames, objects, -1)
+        attended = encoder_apply(params["encoder"], tokens,
+                                 deterministic=deterministic, rng=rng,
+                                 precision=precision)
+        # the snitch is always encoded as slot 0 of the frame
+        snitch = attended[:, 0, :].reshape(batch, frames, -1)
     hidden = stacked_lstm_apply(params["video_lstm"], snitch, precision=precision)
     return linear_apply(params["box_head"], hidden, precision=precision)

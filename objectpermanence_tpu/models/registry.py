@@ -61,11 +61,17 @@ _ARCHS: Dict[str, tuple] = {
 }
 
 
-def get_model_spec(name: str) -> ModelSpec:
+def get_model_spec(name: str, config: Optional[Dict] = None) -> ModelSpec:
     base = _base_name(name)
     if base not in _ARCHS:
         raise ValueError(f"Unknown model name: {name!r}; supported: {TRAINING_SUPPORTED_MODELS}")
     init, apply, width, double = _ARCHS[base]
+    if base == "transformer_lstm" and config and config.get("reference_compat"):
+        # reproduce the reference's actual cross-batch attention semantics
+        # so reference-trained checkpoints validate bit-for-bit — see
+        # reasoning.transformer_lstm_apply
+        from functools import partial
+        apply = partial(apply, reference_compat=True)
     return ModelSpec(
         name=name, init=init, apply=apply, feature_width=width,
         double_output=double, no_labels=name in NO_LABELS_MODELS,
@@ -75,10 +81,24 @@ def get_model_spec(name: str) -> ModelSpec:
 def init_model(name: str, config: Dict[str, int], seed: int = 0,
                checkpoint_path: Optional[str] = None):
     """Build (spec, params); optionally restore params from a checkpoint
-    (reference `models_factory.py:42-80` with `.pth` loading)."""
-    spec = get_model_spec(name)
+    (reference `models_factory.py:42-80` with `.pth` loading).
+
+    `checkpoint_path` accepts this framework's orbax checkpoints (a leaf
+    checkpoint or a training-loop tree resolved to its best-dev leaf) AND
+    reference-trained torch `.pth` state_dicts
+    (`/root/reference/models_factory.py:76-78`), converted through
+    `models/convert_reasoning.py`."""
+    spec = get_model_spec(name, config)
     params = spec.init(jax.random.PRNGKey(seed), config)
     if checkpoint_path is not None:
+        if str(checkpoint_path).endswith(".pth"):
+            from objectpermanence_tpu.models.convert_reasoning import (
+                load_reference_checkpoint,
+            )
+            params = jax.device_put(
+                load_reference_checkpoint(name, checkpoint_path, params))
+            print(f"Converted reference checkpoint {checkpoint_path}")
+            return spec, params
         from objectpermanence_tpu.utils.checkpoint import (
             best_params_checkpoint, restore_params,
         )

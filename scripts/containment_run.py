@@ -24,7 +24,8 @@ from pathlib import Path
 
 
 def gen_split(root: Path, split: str, num_videos: int, seed: int,
-              num_frames: int, num_objects: int) -> None:
+              num_frames: int, num_objects: int, snitch_bias: float = 0.5,
+              require_containment: bool = True) -> None:
     from objectpermanence_tpu.datagen import scene_labels
     from objectpermanence_tpu.datagen.perfect_perception import (
         PerfectPerceptionGenerator,
@@ -45,7 +46,8 @@ def gen_split(root: Path, split: str, num_videos: int, seed: int,
             with tempfile.TemporaryDirectory() as tmp:
                 sdir, _ = _sim(Path(tmp), num_videos=1, seed=seed,
                                num_frames=num_frames, num_objects=num_objects,
-                               snitch_bias=0.5, require_snitch_containment=True)
+                               snitch_bias=snitch_bias,
+                               require_snitch_containment=require_containment)
                 fresh = _json.loads((sdir / "CATER_sim_000000.json").read_text())
             on_disk = _json.loads(
                 (split_dir / "scenes" / "CATER_sim_000000.json").read_text())
@@ -60,8 +62,8 @@ def gen_split(root: Path, split: str, num_videos: int, seed: int,
     t0 = time.time()
     scenes_dir, labels_dir = simulate_dataset(
         split_dir, num_videos=num_videos, seed=seed, num_frames=num_frames,
-        num_objects=num_objects, snitch_bias=0.5,
-        require_snitch_containment=True)
+        num_objects=num_objects, snitch_bias=snitch_bias,
+        require_snitch_containment=require_containment)
     print(f"[datagen] {split}: {num_videos} scenes in {time.time()-t0:.0f}s",
           flush=True)
     t0 = time.time()
@@ -154,16 +156,30 @@ def main() -> None:
     ap.add_argument("--objects", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=160)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--snitch-bias", type=float, default=0.5,
+                    help="planner bias toward snitch containment actions; "
+                         "0.0 = the reference's uniform planner "
+                         "(/root/reference/generate/actions.py:78-149)")
+    ap.add_argument("--uniform-planner", action="store_true",
+                    help="shorthand: --snitch-bias 0.0 plus NO containment "
+                         "guarantee (the reference's actual distribution)")
+    ap.add_argument("--seed-base", type=int, default=0,
+                    help="added to the per-split seeds (1/2/3); use a "
+                         "distinct base per dataset root so scenes are "
+                         "disjoint across datasets")
     args = ap.parse_args()
+
+    snitch_bias = 0.0 if args.uniform_planner else args.snitch_bias
+    require_containment = not args.uniform_planner
 
     args.root.mkdir(parents=True, exist_ok=True)
     if args.stage in ("datagen", "all"):
-        gen_split(args.root, "train", args.train_videos, 1, args.frames,
-                  args.objects)
-        gen_split(args.root, "dev", args.dev_videos, 2, args.frames,
-                  args.objects)
-        gen_split(args.root, "test", args.test_videos, 3, args.frames,
-                  args.objects)
+        gen_split(args.root, "train", args.train_videos, args.seed_base + 1,
+                  args.frames, args.objects, snitch_bias, require_containment)
+        gen_split(args.root, "dev", args.dev_videos, args.seed_base + 2,
+                  args.frames, args.objects, snitch_bias, require_containment)
+        gen_split(args.root, "test", args.test_videos, args.seed_base + 3,
+                  args.frames, args.objects, snitch_bias, require_containment)
     if args.stage in ("train", "all"):
         train(args.root, args.epochs, args.resume)
     if args.stage in ("analyze", "all"):
