@@ -71,13 +71,9 @@ def _unpad_head(stacked_head, in_dim: int, out_dim: int):
     return head
 
 
-def make_pipelined_opnet_forward(mesh, config: Dict[str, int],
-                                 num_microbatches: int = 4):
-    """-> fn(stacked_params, boxes (B, T, 15, F)) -> (B, T, 4) boxes.
-
-    `stacked_params` from `stack_stage_params`. Batch must divide
-    data_par * num_microbatches. The forward matches `opnet_apply`'s box
-    output exactly (the who-to-attend logits stay internal here)."""
+def _make_per_shard(config: Dict[str, int], num_microbatches: int):
+    """The per-shard GPipe fill-drain schedule shared by the forward and
+    the train step."""
     att_hidden = config["object_to_track_hidden_dim"]
     att_out = config["object_to_track_pred_dim"]
     vid_hidden = config["videos_hidden_dim"]
@@ -132,8 +128,57 @@ def make_pipelined_opnet_forward(mesh, config: Dict[str, int],
         y = jax.lax.psum(jnp.where(rank == 1, y, 0.0), PIPE_AXIS)
         return y
 
-    fn = shard_map(per_shard, mesh=mesh,
+    return per_shard
+
+
+def make_pipelined_opnet_forward(mesh, config: Dict[str, int],
+                                 num_microbatches: int = 4):
+    """-> fn(stacked_params, boxes (B, T, 15, F)) -> (B, T, 4) boxes.
+
+    `stacked_params` from `stack_stage_params`. Batch must divide
+    data_par * num_microbatches. The forward matches `opnet_apply`'s box
+    output exactly (the who-to-attend logits stay internal here)."""
+    fn = shard_map(_make_per_shard(config, num_microbatches), mesh=mesh,
                    in_specs=(P(PIPE_AXIS), P("data")),
                    out_specs=P("data"),
                    check_vma=False)
     return jax.jit(fn)
+
+
+def make_pipelined_opnet_train_step(mesh, config: Dict[str, int], optimizer,
+                                    num_microbatches: int = 4):
+    """Training-grade pipeline parallelism: one jit step that differentiates
+    THROUGH the GPipe schedule (jax.grad over the shard_mapped fill-drain
+    forward — ppermute/scan/psum all transpose, so the backward is itself a
+    reverse pipeline over the same mesh), computes the reference loss
+    (L1 + temporal consistency, `training_main.py:192-210`), and applies
+    the optimizer to the stage-sharded stacked params — each pipe rank
+    updates only its own stage's weights.
+
+    -> step(stacked_params, opt_state, boxes, labels, mask)
+       -> (stacked_params, opt_state, metrics)
+
+    Gradient parity vs the single-device train step is tested in
+    tests/test_pipeline_parallel.py."""
+    import optax
+
+    from objectpermanence_tpu.train.losses import total_loss
+
+    fwd = shard_map(_make_per_shard(config, num_microbatches), mesh=mesh,
+                    in_specs=(P(PIPE_AXIS), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(stacked_params, opt_state, boxes, labels, mask):
+        def loss_fn(p):
+            y = fwd(p, boxes)
+            return total_loss(y, labels, mask, False)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            stacked_params)
+        updates, opt_state = optimizer.update(grads, opt_state, stacked_params)
+        stacked_params = optax.apply_updates(stacked_params, updates)
+        return stacked_params, opt_state, metrics
+
+    return train_step

@@ -39,6 +39,9 @@ MODEL_CONFIGS = {
 }
 for _m in list(MODEL_CONFIGS):
     MODEL_CONFIGS[_m + "_no_labels"] = MODEL_CONFIGS[_m]
+# beyond-reference MoE variant: opnet config + default num_experts/
+# expert_hidden (models/reasoning.py:opnet_moe_init)
+MODEL_CONFIGS["opnet_moe"] = MODEL_CONFIGS["opnet"]
 
 
 def training_mask_file(spec, split_dir: Path) -> Path:

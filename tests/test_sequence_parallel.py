@@ -1,12 +1,18 @@
-"""Sequence-parallel IoU evaluator vs the single-device computation on the
-virtual 8-device mesh."""
+"""Sequence-parallel IoU evaluator AND frame-sharded model forwards vs the
+single-device computations on the virtual 8-device mesh."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from objectpermanence_tpu.models.registry import get_model_spec
 from objectpermanence_tpu.ops.boxes import FRAME_SHAPES, iou_xyxy
 from objectpermanence_tpu.parallel.mesh import make_mesh
-from objectpermanence_tpu.parallel.sequence import make_sequence_parallel_iou
+from objectpermanence_tpu.parallel.sequence import (
+    make_sequence_parallel_iou,
+    make_sequence_parallel_opnet_forward,
+    make_sequence_parallel_transformer_forward,
+)
 
 
 def test_sp_iou_matches_single_device():
@@ -31,3 +37,40 @@ def test_sp_iou_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_msum), (iou * frame_mask).sum(axis=1),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_mcnt), frame_mask.sum(axis=1))
+
+
+def test_sp_opnet_forward_matches_single_device():
+    """Frame-sharded OPNet forward (selection einsum + box head sharded
+    over the model axis) == plain spec.apply."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = {"object_to_track_pred_dim": 15, "object_to_track_hidden_dim": 32,
+           "videos_hidden_dim": 48}
+    spec = get_model_spec("opnet")
+    params = spec.init(jax.random.PRNGKey(0), cfg)
+    boxes = np.random.RandomState(1).rand(8, 20, 15, 6).astype(np.float32)
+
+    ref_y, ref_logits = spec.apply(params, jnp.asarray(boxes))
+    sp_fwd = make_sequence_parallel_opnet_forward(mesh)
+    got_y, got_logits = sp_fwd(params, jnp.asarray(boxes))
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sp_transformer_forward_matches_single_device():
+    """Frame-sharded transformer_lstm forward (per-frame encoder sharded
+    over the model axis) == plain spec.apply."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = {"boxes_features_dim": 32, "num_attention_heads": 2,
+           "num_attention_layers": 2, "num_lstm_layers": 2,
+           "lstm_hidden_dim": 48}
+    spec = get_model_spec("transformer_lstm")
+    params = spec.init(jax.random.PRNGKey(0), cfg)
+    boxes = np.random.RandomState(2).rand(8, 20, 15, 5).astype(np.float32)
+
+    ref = spec.apply(params, jnp.asarray(boxes))
+    sp_fwd = make_sequence_parallel_transformer_forward(mesh)
+    got = sp_fwd(params, jnp.asarray(boxes))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
