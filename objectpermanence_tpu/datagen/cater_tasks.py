@@ -121,31 +121,80 @@ def train_test_split(names: Sequence[str], train_fraction: float = 0.7,
     return names[:cut], names[cut:]
 
 
-def write_task_labels(scenes_dir, output_dir, *, seed: int = 0) -> Dict[str, Path]:
-    """Write `localize.txt` (grid class), `actions_present.txt`
-    (multi-label), and `train.txt`/`val.txt` split files."""
+def write_task_labels(scenes_dir, output_dir, *, seed: int = 0,
+                      action_order_n: int = 2) -> Dict[str, Path]:
+    """Write every CATER benchmark dataset the reference's label tooling
+    emits (`gen_train_test.py:298-330` `dataset_gen_fns`): per-dataset
+    directories `localize/`, `localize_4x4/`, `localize_8x8/`,
+    `actions_present/`, `actions_order_uniq/`, each holding
+    `train.txt`/`val.txt` of "<video> <label[,label...]>" lines with
+    empty-label rows dropped (reference `len(str(label)) > 0` filter,
+    `gen_train_test.py:320-323`), plus the legacy flat files
+    (`localize.txt`, `actions_present.txt`, `train.txt`, `val.txt`).
+
+    Returns {key: path}; per-dataset split files are keyed
+    "<dataset>/<split>" (e.g. "actions_order_uniq/train")."""
     scenes_dir, output_dir = Path(scenes_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    localize_lines, actions_lines, names = [], [], []
+    order_classes = action_order_classes(n=action_order_n, unique=True)
+    # label text per dataset per video; localize labels are ints (never
+    # empty), multilabel datasets comma-join and may be empty
+    datasets: Dict[str, List[Tuple[str, str]]] = {
+        "localize": [], "localize_4x4": [], "localize_8x8": [],
+        "actions_present": [], "actions_order_uniq": [],
+    }
+    names = []
     for scene_path in sorted(scenes_dir.glob("*.json")):
         with open(scene_path) as f:
             scene = json.load(f)
         name = f"{scene_path.stem}.avi"
         names.append(name)
-        localize_lines.append(f"{name} {localization_class(scene)}\n")
-        labels = ",".join(str(l) for l in actions_present_labels(scene))
-        actions_lines.append(f"{name} {labels}\n")
+        datasets["localize"].append((name, str(localization_class(scene))))
+        # reference localize_4x4 passes num_rows=num_cols=2, 8x8 passes 4
+        datasets["localize_4x4"].append(
+            (name, str(localization_class(scene, 2, 2))))
+        datasets["localize_8x8"].append(
+            (name, str(localization_class(scene, 4, 4))))
+        datasets["actions_present"].append(
+            (name, ",".join(str(l) for l in actions_present_labels(scene))))
+        datasets["actions_order_uniq"].append(
+            (name, ",".join(str(l) for l in action_order_labels(
+                scene, order_classes, n=action_order_n))))
 
     train, val = train_test_split(names, seed=seed)
+    split_names = {"train": set(train), "val": set(val)}
+
     paths = {
         "localize": output_dir / "localize.txt",
         "actions_present": output_dir / "actions_present.txt",
         "train": output_dir / "train.txt",
         "val": output_dir / "val.txt",
     }
-    paths["localize"].write_text("".join(localize_lines))
-    paths["actions_present"].write_text("".join(actions_lines))
+    paths["localize"].write_text(
+        "".join(f"{n} {l}\n" for n, l in datasets["localize"]))
+    paths["actions_present"].write_text(
+        "".join(f"{n} {l}\n" for n, l in datasets["actions_present"]))
     paths["train"].write_text("".join(f"{n}\n" for n in train))
     paths["val"].write_text("".join(f"{n}\n" for n in val))
+
+    for dset_name, rows in datasets.items():
+        dset_dir = output_dir / dset_name
+        dset_dir.mkdir(exist_ok=True)
+        by_name = dict(rows)
+        for split, members in split_names.items():
+            lines = [f"{n} {by_name[n]}\n"
+                     for n in (train if split == "train" else val)
+                     if len(by_name[n]) > 0]
+            p = dset_dir / f"{split}.txt"
+            p.write_text("".join(lines))
+            paths[f"{dset_name}/{split}"] = p
+        # the reference persists the class table (metadata.pkl); json here
+        meta = {"num_classes": (len(order_classes)
+                                if dset_name == "actions_order_uniq"
+                                else len(ACTION_CLASSES)
+                                if dset_name == "actions_present"
+                                else {"localize": 36, "localize_4x4": 16,
+                                      "localize_8x8": 64}[dset_name])}
+        (dset_dir / "metadata.json").write_text(json.dumps(meta))
     return paths

@@ -143,6 +143,132 @@ def test_write_task_labels(tmp_path):
     assert len(train) == 2 and len(val) == 2
     assert set(train) | set(val) == {f"vid{i}.avi" for i in range(4)}
 
+    # reference-layout per-dataset dirs (gen_train_test.py:298-330)
+    for dset in ("localize", "localize_4x4", "localize_8x8",
+                 "actions_present", "actions_order_uniq"):
+        for split, n_expected in (("train", 2), ("val", 2)):
+            lines = paths[f"{dset}/{split}"].read_text().splitlines()
+            assert len(lines) == n_expected, (dset, split)
+            for line in lines:
+                name, label = line.split(" ", 1)
+                assert name.endswith(".avi") and label
+    # every scene is identical: action-order labels must agree across files
+    order_lines = paths["actions_order_uniq/train"].read_text().splitlines()
+    labels = {int(x) for x in order_lines[0].split(" ", 1)[1].split(",")}
+    classes = cater_tasks.action_order_classes(n=2, unique=True)
+    # "cube _slide BEFORE cone _contain" is scripted in make_scene
+    assert classes.index(
+        ((("cube", "_slide"), ("cone", "_contain")), ("before",))) in labels
+    meta = json.loads(
+        (tmp_path / "lists" / "actions_order_uniq" / "metadata.json")
+        .read_text())
+    assert meta["num_classes"] == len(classes)
+
+
+def test_write_task_labels_drops_empty_multilabels(tmp_path):
+    """The reference drops rows whose label string is empty
+    (gen_train_test.py:320-323) — a scene with no actions must vanish from
+    actions_present/actions_order splits but stay in localize."""
+    scenes_dir = tmp_path / "scenes"
+    scenes_dir.mkdir()
+    quiet = make_scene()
+    quiet["movements"] = {name: [] for name in quiet["movements"]}
+    for i in range(3):
+        (scenes_dir / f"vid{i}.json").write_text(json.dumps(quiet))
+    paths = cater_tasks.write_task_labels(scenes_dir, tmp_path / "lists")
+    n_loc = sum(len(paths[f"localize/{s}"].read_text().splitlines())
+                for s in ("train", "val"))
+    n_act = sum(len(paths[f"actions_present/{s}"].read_text().splitlines())
+                for s in ("train", "val"))
+    n_ord = sum(len(paths[f"actions_order_uniq/{s}"].read_text().splitlines())
+                for s in ("train", "val"))
+    assert n_loc == 3 and n_act == 0 and n_ord == 0
+
+
+# --- golden test vs the reference's own gen_train_test.py --------------------
+
+def _load_reference_gen_train_test():
+    import importlib.util
+    import os
+    import sys
+    import types
+    from pathlib import Path
+
+    ref = Path("/root/reference/generate/gen_train_test.py")
+    if not ref.exists():
+        pytest.skip("reference repo not mounted")
+    # satisfy `from generate.gen_utils import mkdir_p` without importing the
+    # real gen_utils (it imports cv2, absent from the compute environment)
+    pkg = types.ModuleType("generate")
+    pkg.__path__ = [str(ref.parent)]
+    gu = types.ModuleType("generate.gen_utils")
+    gu.mkdir_p = lambda p: os.makedirs(p, exist_ok=True)
+    sys.modules.setdefault("generate", pkg)
+    sys.modules["generate.gen_utils"] = gu
+    spec = importlib.util.spec_from_file_location("ref_gen_train_test", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _golden_scenes():
+    """Deterministic scene variants exercising orderings, negative-grid
+    positions, and repeated actions."""
+    scenes = [make_scene()]
+    s = make_scene()
+    s["objects"][0]["locations"][str(299)] = [-2.5, 1.2, 0.35]  # negative x
+    s["movements"]["Cube_0"].append(["_rotate", None, 60, 70])
+    scenes.append(s)
+    s = make_scene()
+    s["movements"]["Spl_0"] = [["_slide", None, 0, 10],
+                               ["_pick_place", None, 15, 25]]
+    s["movements"]["Cone_2"].append(["_slide", None, 40, 55])
+    scenes.append(s)
+    return scenes
+
+
+def test_action_order_classes_match_reference():
+    from itertools import product as iproduct
+    mod = _load_reference_gen_train_test()
+    action_sets = list(iproduct(mod.ACTION_CLASSES, repeat=2))
+    orderings = list(iproduct(mod.ORDERING, repeat=1))
+    ref_classes = list(iproduct(action_sets, orderings))
+    assert cater_tasks.action_order_classes(n=2) == ref_classes
+    assert (cater_tasks.action_order_classes(n=2, unique=True)
+            == mod.action_order_unique(ref_classes))
+
+
+def test_task_labels_match_reference_golden():
+    """Run the reference's OWN label functions (localize_dataset,
+    actions_or_not_dataset, compute_active_labels) on fixture scenes and
+    require exact agreement with this framework's labels."""
+    import copy
+
+    mod = _load_reference_gen_train_test()
+    classes = cater_tasks.action_order_classes(n=2, unique=True)
+    for i, scene in enumerate(_golden_scenes()):
+        # localize at all three grids (deepcopy per call: the reference's
+        # localize_dataset mutates `locations` in place when rescaling)
+        for rows_cols, ours in ((None, cater_tasks.localization_class(scene)),
+                                ((2, 2), cater_tasks.localization_class(scene, 2, 2)),
+                                ((4, 4), cater_tasks.localization_class(scene, 4, 4))):
+            data = {f"v{i}.avi": copy.deepcopy(scene)}
+            if rows_cols is None:
+                _, lbls, _ = mod.localize_dataset(data)
+            else:
+                _, lbls, _ = mod.localize_dataset(data, *rows_cols)
+            assert lbls[0] == ours, (i, rows_cols)
+
+        _, ref_actions, _ = mod.actions_or_not_dataset(
+            {f"v{i}.avi": copy.deepcopy(scene)}, mod.ACTION_CLASSES)
+        ours = ",".join(str(l) for l in cater_tasks.actions_present_labels(scene))
+        assert ref_actions[0] == ours, i
+
+        _, ref_active = mod.compute_active_labels(
+            (f"v{i}.avi", copy.deepcopy(scene)), classes=classes, n=2)
+        assert sorted(ref_active) == cater_tasks.action_order_labels(
+            scene, classes, n=2), i
+
 
 # --- perfect perception ------------------------------------------------------
 
