@@ -22,6 +22,8 @@ outside [-1, size] zeroed, coordinate clamping) to float tolerance.
 
 import functools
 import math
+import os
+import warnings
 from typing import List, Sequence
 
 import jax
@@ -29,6 +31,87 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# --- windowed-kernel contract accounting -------------------------------------
+# The windowed kernel drops taps outside its per-roi (win, win) window (the
+# documented >~5:1-aspect approximation). These process-wide counters make a
+# distribution shift VISIBLE instead of silently degrading accuracy: every
+# windowed dispatch accumulates (rois seen, rois out of contract) via a host
+# callback, and the first violation emits a warning. Disable with
+# OP_TPU_ROI_CONTRACT_STATS=0 (stats are trace-time gated, so a jit compiled
+# while disabled never pays the callback).
+CONTRACT_STATS_ENABLED = os.environ.get(
+    "OP_TPU_ROI_CONTRACT_STATS", "1") != "0"
+_CONTRACT_STATS = {"rois": 0, "out_of_contract": 0, "warned": False}
+
+
+def contract_stats() -> dict:
+    """Snapshot of {rois, out_of_contract} seen by windowed dispatches."""
+    return {k: _CONTRACT_STATS[k] for k in ("rois", "out_of_contract")}
+
+
+def reset_contract_stats() -> None:
+    _CONTRACT_STATS.update(rois=0, out_of_contract=0, warned=False)
+
+
+def _accumulate_contract_stats(violations, total) -> None:
+    _CONTRACT_STATS["rois"] += int(total)
+    _CONTRACT_STATS["out_of_contract"] += int(violations)
+    if violations and not _CONTRACT_STATS["warned"]:
+        _CONTRACT_STATS["warned"] = True
+        warnings.warn(
+            f"windowed RoIAlign: {int(violations)}/{int(total)} rois in this "
+            f"batch exceed the window contract (>~5:1 aspect at their FPN "
+            f"level) and get the documented window approximation; see "
+            f"ops.pallas_roi_align.contract_stats() for running totals",
+            RuntimeWarning, stacklevel=2)
+
+
+def _out_of_window_mask(rois, levels, level_shapes, hps_per_level,
+                        wps_per_level, win: int, y_quant: int, x_quant: int,
+                        pooled: int, s: int):
+    """(B, N) bool: True where the windowed kernel would drop a
+    nonzero-weight tap of this roi — the exact same origin/tap math as the
+    kernel (`_window_interp_weights` drop criterion), on the raw rois."""
+    b, n = rois.shape[:2]
+    flat = rois.reshape(b * n, 4)
+    lv = levels.reshape(b * n)
+    hs = jnp.asarray([h for h, _, _ in level_shapes])[lv]
+    ws = jnp.asarray([w for _, w, _ in level_shapes])[lv]
+    hps = jnp.asarray(hps_per_level)[lv]
+    wps = jnp.asarray(wps_per_level)[lv]
+    scale = (1.0 / jnp.asarray([st for _, _, st in level_shapes],
+                               jnp.float32))[lv]
+    r = flat * scale[:, None]
+    x1, y1 = r[:, 0], r[:, 1]
+    roi_w = jnp.maximum(r[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(r[:, 3] - y1, 1.0)
+    k = pooled * s
+    idx = jnp.arange(k, dtype=jnp.float32)
+    grid = jnp.floor(idx / s) + ((idx % s) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / pooled)[:, None]
+    xs = x1[:, None] + grid[None, :] * (roi_w / pooled)[:, None]
+    y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(hps - win, 0))
+    y0 = (y0 // y_quant) * y_quant
+    x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(wps - win, 0))
+    x0 = (x0 // x_quant) * x_quant
+
+    def axis_bad(coords, size, origin):
+        szf = size[:, None].astype(jnp.float32)
+        inside = jnp.logical_and(coords >= -1.0, coords <= szf)
+        c = jnp.clip(coords, 0.0, szf - 1.0)
+        c0 = jnp.floor(c)
+        frac = c - c0
+        rel0 = c0.astype(jnp.int32) - origin[:, None]
+        rel1 = (jnp.minimum(c0.astype(jnp.int32) + 1, size[:, None] - 1)
+                - origin[:, None])
+        bad = (rel0 < 0) | (rel0 > win - 1) | ((frac > 0) & (rel1 > win - 1))
+        return jnp.logical_and(inside, bad).any(axis=1)
+
+    oow = axis_bad(ys, hs, y0) | axis_bad(xs, ws, x0)
+    return oow.reshape(b, n)
 
 
 def _mxu_precision(*dtypes):
@@ -967,6 +1050,13 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
              .reshape(batch, nc, hp, wp * cc))
 
     levels = levels.astype(jnp.int32)
+    if CONTRACT_STATS_ENABLED:
+        oow = _out_of_window_mask(
+            rois, levels, level_shapes,
+            [_pad_h(h) for h, _, _ in level_shapes],
+            [_pad_w(w) for _, w, _ in level_shapes],
+            win, y_quant, x_quant, pooled, s)
+        jax.debug.callback(_accumulate_contract_stats, oow.sum(), oow.size)
     nblocks = -(-n // r_blk) + num_levels
     np_rois = nblocks * r_blk
 

@@ -310,3 +310,55 @@ def test_windowed_roi_align_right_edge_small_cc():
         pra.pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_contract_stats():
+    """The out-of-contract counter (Weak #5): every roi NOT flagged must be
+    float-exact vs the gather oracle, extreme-aspect rois must be flagged,
+    and the process-wide counters must add up."""
+    import jax
+    rng = np.random.RandomState(9)
+    B, C = 1, 4
+    shapes = [(64, 128), (32, 64), (16, 32), (8, 16)]
+    feats = [jnp.asarray(rng.rand(B, C, h, w).astype(np.float32))
+             for h, w in shapes]
+    rois_img = []
+    for size in (24, 90, 220):                 # canonical squares: in contract
+        for _ in range(3):
+            x1, y1 = rng.uniform(0, 40), rng.uniform(0, 30)
+            rois_img.append([x1, y1, x1 + size, y1 + size])
+    n_square = len(rois_img)
+    # ~80:1 aspect: 500px wide = 125 level-0 pixels, far beyond the 64-px
+    # effective window (win=32 widened by the cc=4 alignment quantum)
+    for _ in range(3):
+        x1, y1 = rng.uniform(0, 8), rng.uniform(0, 200)
+        rois_img.append([x1, y1, x1 + 500.0, y1 + 6.0])
+    rois = jnp.asarray(np.array(rois_img, np.float32))[None]
+    levels = jax.vmap(assign_levels)(rois)
+
+    ref = jax.vmap(lambda *a: multilevel_roi_align(
+        list(a[:4]), a[4], a[5], ROI_STRIDES))(*feats, rois, levels)
+
+    pra.reset_contract_stats()
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = pra.roi_align_pallas_windowed(
+            feats, rois, levels, ROI_STRIDES, channel_chunk=4,
+            r_blk=4, win=32)
+        got = np.asarray(got)
+        jax.effects_barrier()
+    finally:
+        pra.pl.pallas_call = orig
+
+    stats = pra.contract_stats()
+    assert stats["rois"] == rois.shape[1]
+    assert stats["out_of_contract"] == 3
+    assert pra._CONTRACT_STATS["warned"]
+    # the guarantee the counter exists to protect: unflagged rois are exact
+    np.testing.assert_allclose(got[0, :n_square], np.asarray(ref)[0, :n_square],
+                               rtol=1e-5, atol=1e-6)
+    # and the flagged ones really do deviate (the approximation is real)
+    assert not np.allclose(got[0, n_square:], np.asarray(ref)[0, n_square:],
+                           rtol=1e-5, atol=1e-6)
+    pra.reset_contract_stats()
