@@ -54,6 +54,31 @@ def _draw_object(frame: np.ndarray, box_xywh, shape: str, color_rgb) -> None:
         cv2.rectangle(frame, (x, y), (x2, y2), color_rgb, -1)
 
 
+def _render_frame(scene, gt_bb, contained, objects, tracks, labels, f: int):
+    """One frame -> (HxWx3 uint8 RGB, {'bb': (n,4) xyxy, 'labels': (n,)})."""
+    frame = np.full((FRAME_HEIGHT, FRAME_WIDTH, 3), BACKGROUND, np.uint8)
+    visible = []
+    for obj, track, label in zip(objects, tracks, labels):
+        spans = contained.get(label, [])
+        if any(start <= f <= end for start, end in spans):
+            continue  # hidden inside its container
+        visible.append((obj, track, label))
+    # paint far-from-camera first so near objects occlude
+    def cam_dist(entry):
+        loc = entry[0]["locations"][str(f)]
+        return -float(np.linalg.norm(CAMERA_LOCATION - np.asarray(loc)))
+    visible.sort(key=cam_dist)
+
+    frame_bb, frame_labels = [], []
+    for obj, track, label in visible:
+        box = gt_bb[track][f]
+        _draw_object(frame, box, obj["shape"], COLOR_RGB[obj["color"]])
+        frame_bb.append([box[0], box[1], box[0] + box[2], box[1] + box[3]])
+        frame_labels.append(label)
+    return frame, {"bb": np.asarray(frame_bb, np.float32).reshape(-1, 4),
+                   "labels": np.asarray(frame_labels, np.int64)}
+
+
 def render_video(scene: dict, gt_bb: dict, num_frames: int) -> Tuple[np.ndarray, List[Dict]]:
     """-> (frames (T, H, W, 3) uint8 RGB, per-frame visible annotations
     [{'bb': (n,4) xyxy, 'labels': (n,)}])."""
@@ -65,34 +90,16 @@ def render_video(scene: dict, gt_bb: dict, num_frames: int) -> Tuple[np.ndarray,
     frames = np.empty((num_frames, FRAME_HEIGHT, FRAME_WIDTH, 3), np.uint8)
     annotations = []
     for f in range(num_frames):
-        frame = np.full((FRAME_HEIGHT, FRAME_WIDTH, 3), BACKGROUND, np.uint8)
-        visible = []
-        for obj, track, label in zip(objects, tracks, labels):
-            spans = contained.get(label, [])
-            if any(start <= f <= end for start, end in spans):
-                continue  # hidden inside its container
-            visible.append((obj, track, label))
-        # paint far-from-camera first so near objects occlude
-        def cam_dist(entry):
-            loc = entry[0]["locations"][str(f)]
-            return -float(np.linalg.norm(CAMERA_LOCATION - np.asarray(loc)))
-        visible.sort(key=cam_dist)
-
-        frame_bb, frame_labels = [], []
-        for obj, track, label in visible:
-            box = gt_bb[track][f]
-            _draw_object(frame, box, obj["shape"], COLOR_RGB[obj["color"]])
-            frame_bb.append([box[0], box[1], box[0] + box[2], box[1] + box[3]])
-            frame_labels.append(label)
-        frames[f] = frame
-        annotations.append({"bb": np.asarray(frame_bb, np.float32).reshape(-1, 4),
-                            "labels": np.asarray(frame_labels, np.int64)})
+        frames[f], ann = _render_frame(scene, gt_bb, contained, objects,
+                                       tracks, labels, f)
+        annotations.append(ann)
     return frames, annotations
 
 
 def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
                    detection_samples_per_video: int = 4,
-                   seed: int = 0, progress_every: int = 0) -> Tuple[Path, Path, Path]:
+                   seed: int = 0, progress_every: int = 0,
+                   frames_only: bool = False) -> Tuple[Path, Path, Path]:
     """Render every simulated scene to an .avi (+1 spare frame for the cv2
     extra-frame convention) and emit a detection training set (sampled
     frames as PNG + the reference CSV schema).
@@ -102,6 +109,11 @@ def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
     Frame sampling is seeded per-video (seed ^ hash(name)) so resumed and
     fresh runs produce identical detection sets. The final CSV is rebuilt
     from the sidecars every call.
+
+    frames_only=True skips the videos entirely and renders ONLY the sampled
+    detection frames (~num_frames/k less work) — for detector-training
+    experiments that never consume the videos. The sampled frame set is
+    identical to a full render with the same seed.
     Returns (videos_dir, det_images_dir, det_csv_path)."""
     import json
 
@@ -111,7 +123,8 @@ def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
     output_root = Path(output_root)
     videos_dir = output_root / "videos"
     det_dir = output_root / "det_images"
-    videos_dir.mkdir(parents=True, exist_ok=True)
+    if not frames_only:
+        videos_dir.mkdir(parents=True, exist_ok=True)
     det_dir.mkdir(parents=True, exist_ok=True)
 
     scene_paths = sorted(scenes_dir.glob("*.json"))
@@ -119,30 +132,45 @@ def render_dataset(scenes_dir, labels_dir, output_root, *, fps: int = 24,
         name = scene_path.stem
         avi_path = videos_dir / f"{name}.avi"
         rows_path = det_dir / f"{name}.rows"
-        if avi_path.exists() and rows_path.exists():
+        if rows_path.exists() and (frames_only or avi_path.exists()):
             continue
         with open(scene_path) as f:
             scene = json.load(f)
         with open(labels_dir / f"{name}_bb.json") as f:
             gt_bb = json.load(f)
         num_frames = len(next(iter(gt_bb.values())))
-        frames, annotations = render_video(scene, gt_bb, num_frames)
-
-        tmp_path = videos_dir / f"{name}.avi.tmp.avi"  # keep .avi suffix for cv2
-        writer = cv2.VideoWriter(str(tmp_path),
-                                 cv2.VideoWriter_fourcc(*"MJPG"), fps,
-                                 (FRAME_WIDTH, FRAME_HEIGHT))
-        for f in range(num_frames):
-            writer.write(cv2.cvtColor(frames[f], cv2.COLOR_RGB2BGR))
-        writer.write(cv2.cvtColor(frames[-1], cv2.COLOR_RGB2BGR))  # spare frame
-        writer.release()
-        tmp_path.rename(avi_path)
 
         rng = np.random.RandomState(
             (seed * 1000003 + int.from_bytes(name.encode()[-8:], "little")) % (2**31))
-        csv_rows = []
         k = min(detection_samples_per_video, num_frames)
-        for f in rng.choice(num_frames, k, replace=False):
+        sampled = rng.choice(num_frames, k, replace=False)
+
+        if frames_only:
+            contained = contained_frame_ranges(scene)
+            objects = scene["objects"]
+            tracks = [instance_track_name(o) for o in objects]
+            labels = [class_index_for_track(t) for t in tracks]
+            frames, annotations = {}, {}
+            for f in sampled:
+                frames[f], annotations[f] = _render_frame(
+                    scene, gt_bb, contained, objects, tracks, labels, int(f))
+        else:
+            all_frames, all_annotations = render_video(scene, gt_bb, num_frames)
+            frames = {f: all_frames[f] for f in sampled}
+            annotations = {f: all_annotations[f] for f in sampled}
+
+            tmp_path = videos_dir / f"{name}.avi.tmp.avi"  # keep .avi suffix for cv2
+            writer = cv2.VideoWriter(str(tmp_path),
+                                     cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                                     (FRAME_WIDTH, FRAME_HEIGHT))
+            for f in range(num_frames):
+                writer.write(cv2.cvtColor(all_frames[f], cv2.COLOR_RGB2BGR))
+            writer.write(cv2.cvtColor(all_frames[-1], cv2.COLOR_RGB2BGR))  # spare frame
+            writer.release()
+            tmp_path.rename(avi_path)
+
+        csv_rows = []
+        for f in sampled:
             img_name = f"{name}_f{f:04d}.png"
             cv2.imwrite(str(det_dir / img_name),
                         cv2.cvtColor(frames[f], cv2.COLOR_RGB2BGR))

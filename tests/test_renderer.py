@@ -81,3 +81,25 @@ def test_render_dataset_resume_identical(tmp_path):
     _, _, csv_path2 = render_dataset(
         scenes_dir, labels_dir, out, detection_samples_per_video=3)
     assert csv_path2.read_text() == first
+
+
+def test_render_dataset_frames_only_identical(tmp_path):
+    """frames_only must produce byte-identical det_images + CSV to a full
+    render with the same seed (it is the same sampling + per-frame paint,
+    minus the videos)."""
+    scenes_dir, labels_dir = simulate_dataset(tmp_path, num_videos=2, seed=12,
+                                              num_frames=24)
+    _, det_full, csv_full = render_dataset(
+        scenes_dir, labels_dir, tmp_path / "full",
+        detection_samples_per_video=3, seed=4)
+    videos_dir, det_fast, csv_fast = render_dataset(
+        scenes_dir, labels_dir, tmp_path / "fast",
+        detection_samples_per_video=3, seed=4, frames_only=True)
+
+    assert not videos_dir.exists()
+    full_pngs = sorted(p.name for p in det_full.glob("*.png"))
+    fast_pngs = sorted(p.name for p in det_fast.glob("*.png"))
+    assert full_pngs == fast_pngs and full_pngs
+    for name in full_pngs:
+        assert (det_full / name).read_bytes() == (det_fast / name).read_bytes()
+    assert csv_full.read_text() == csv_fast.read_text()
