@@ -96,6 +96,7 @@ def main() -> None:
     ap.add_argument("--models", nargs="+", default=["opnet"])
     ap.add_argument("--checkpoints-root", type=Path,
                     default=Path("/root/data/sim4k"))
+    ap.add_argument("--sweep-dir", default="sweep")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -108,10 +109,11 @@ def main() -> None:
 
     rows = []
     for model in args.models:
-        if model == "opnet":   # flagship checkpoints live outside sweep/
+        # sweep layout first (any model trained by variant_sweep.py);
+        # the flagship's opnet lives outside sweep/
+        ckpt = args.checkpoints_root / args.sweep_dir / model / model
+        if not ckpt.is_dir() and model == "opnet":
             ckpt = args.checkpoints_root / "checkpoints" / "opnet"
-        else:
-            ckpt = args.checkpoints_root / "sweep" / model / model
         rows.append(evaluate(args.root, model, ckpt, args.root / "cache"))
     (args.root / "results.json").write_text(json.dumps(rows, indent=2))
     print(json.dumps(rows, indent=2))
