@@ -17,6 +17,25 @@ jax.config.update("jax_platforms", "cpu")
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+
+# Two test lanes (VERDICT r3 #7): the default lane must stay fast enough to
+# run on every iteration; everything marked `slow` (torch-parity suites,
+# multi-epoch training, interpret-mode Pallas oracles) runs only with --slow.
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run tests marked slow (the full CI lane)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow lane: re-run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

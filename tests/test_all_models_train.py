@@ -51,3 +51,5 @@ def test_train_step_runs(name):
     params, opt_state, metrics = step(params, opt_state, boxes, labels, mask,
                                       jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

@@ -143,6 +143,7 @@ def test_detection_dataset_loading(tiny_fixture_detection_data):
     assert set(batch["gt_labels"][0][:2]) == {140, 5}
 
 
+@pytest.mark.slow
 def test_detector_train_step_loss_decreases():
     anchors = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
         TINY.feature_shapes(), TINY.strides, TINY.anchor_sizes)]
@@ -171,6 +172,7 @@ def test_detector_train_step_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_preprocess_driver_writes_reference_schema(tmp_path, monkeypatch):
     """preprocess_main on a synthetic avi with an untrained tiny detector:
     the pickle must carry the reference {'bb','labels'} schema."""

@@ -77,3 +77,7 @@ def test_bf16_inference_detections_track_fp32():
     if both.any():
         np.testing.assert_allclose(scores16[both], scores32[both],
                                    rtol=0.1, atol=0.02)
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

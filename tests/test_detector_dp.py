@@ -86,3 +86,7 @@ def test_train_detector_loop_data_parallel(tmp_path):
     assert np.isfinite(result["history"][0]["train_loss"])
     w = result["params"]["box_head"]["cls"]["w"]
     assert w.sharding.is_fully_replicated
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

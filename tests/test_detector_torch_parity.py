@@ -318,3 +318,5 @@ def test_exported_state_dict_loads_into_torch_mirror(mirror_and_params):
     # only BN num_batches_tracked counters may be missing
     assert not unexpected
     assert all(k.endswith("num_batches_tracked") for k in missing)
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

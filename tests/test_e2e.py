@@ -166,6 +166,7 @@ def test_heuristic_tracker_cli(fixture_data, tmp_path):
     np.testing.assert_allclose(preds[0], [x, y, x + w, y + h], atol=1.0)
 
 
+@pytest.mark.slow
 def test_no_labels_variant_trains(fixture_data, tmp_path):
     """Masked-loss (no_labels) path: one epoch of opnet_no_labels."""
     root, pred_dir, labels_dir, containment = fixture_data

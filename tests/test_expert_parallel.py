@@ -2,6 +2,7 @@
 the dense single-device apply on the virtual 8-device CPU mesh, sharding
 checks, and the opnet_moe model variant."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +54,7 @@ def test_routing_uses_multiple_experts():
     assert np.all(np.asarray(gate) >= 1.0 / 4 - 1e-6)
 
 
+@pytest.mark.slow
 def test_opnet_moe_forward_and_grad():
     """The registered opnet_moe variant: double-output forward with the
     standard opnet config (MoE keys defaulted) and finite grads."""

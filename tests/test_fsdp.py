@@ -3,6 +3,7 @@ the virtual 8-device CPU mesh. Checks (1) large leaves are REALLY sharded
 (each device holds 1/n of the leaf), (2) a sharded train step matches the
 single-device train step numerically, (3) shardings survive the update."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +46,7 @@ def test_fsdp_large_leaves_really_sharded():
     assert n_sharded >= 3  # the LSTM gate matrices at least
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_single_device():
     spec, params = init_model("opnet", MODEL_CFG, seed=1)
     optimizer = make_optimizer(1e-3)

@@ -2,6 +2,7 @@
 real dp+tp-sharded train step on the virtual 8-device CPU mesh."""
 
 import jax
+import pytest
 
 import __graft_entry__ as graft
 
@@ -12,10 +13,12 @@ def test_entry_compiles():
     assert out.shape == (8, 300, 4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(1)
 
@@ -29,6 +32,7 @@ def test_make_mesh_raises_actionable_error_when_devices_insufficient():
         make_mesh(n_data=16, n_model=2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_from_one_device():
     """Simulate the driver environment (1 visible device, VERDICT r1 weak #1):
     dryrun_multichip(8) must self-provision a virtual 8-CPU mesh in a

@@ -232,3 +232,5 @@ def test_transformer_lstm_parity():
         ref = t_model(torch.from_numpy(x))
     got = spec.apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

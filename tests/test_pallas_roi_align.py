@@ -362,3 +362,7 @@ def test_windowed_contract_stats():
     assert not np.allclose(got[0, n_square:], np.asarray(ref)[0, n_square:],
                            rtol=1e-5, atol=1e-6)
     pra.reset_contract_stats()
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

@@ -92,3 +92,5 @@ def test_opnet_fused_bf16_close_to_f32():
     rel = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-9))
     assert rel < 0.05
     assert y16.dtype == jnp.float32  # outputs stay f32
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

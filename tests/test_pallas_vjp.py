@@ -117,3 +117,5 @@ def test_fused_gradients_with_batch_padding():
                                np.asarray(ref[0]["w_hh"]), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                rtol=1e-4, atol=1e-6)
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

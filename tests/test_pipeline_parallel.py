@@ -1,6 +1,7 @@
 """Pipeline parallelism (parallel/pipeline.py): dp+pp OPNet forward parity
 against the plain single-device apply, on the virtual 8-device CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ def test_pipelined_opnet_matches_plain():
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_pipelined_train_step_grad_parity():
     """Training-grade pp (VERDICT r3 #4a): one optimizer step through the
     GPipe schedule must produce, for every stage's REAL weight region,

@@ -167,3 +167,5 @@ def test_cli_inference_from_pth(tmp_path):
     }, CFGS["opnet"])
     preds = sorted(results_dir.glob("*_bb.json"))
     assert len(preds) == 2
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

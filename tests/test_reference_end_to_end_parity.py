@@ -74,3 +74,5 @@ def test_ingest_plus_opnet_matches_reference_model(tmp_path):
                                                 block_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(fused_y), ref_y.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

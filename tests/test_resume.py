@@ -43,3 +43,7 @@ def test_resume_continues_and_completes(tmp_path):
     # fully-completed run resumes as a no-op
     r3 = training_main(spec, ds, ds, _cfg(tmp_path, 3), MODEL_CFG, resume=True)
     assert r3.history == []
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

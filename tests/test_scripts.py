@@ -1,5 +1,6 @@
 """Scaled-run driver scripts (scripts/): tiny CPU end-to-end coverage."""
 
+import pytest
 import json
 import sys
 from pathlib import Path
@@ -9,6 +10,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 
+@pytest.mark.slow
 def test_containment_run_stages(tmp_path):
     import containment_run
 

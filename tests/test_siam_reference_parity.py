@@ -133,3 +133,5 @@ def test_track_forward_decode_layout_matches_reference(ref_tracker_modules):
                                rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(our_score), ref_score,
                                rtol=1e-3, atol=1e-5)
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

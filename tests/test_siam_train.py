@@ -148,3 +148,5 @@ def test_tiny_training_reduces_loss():
     assert bool(jnp.all(jnp.isfinite(bn["var"])))
     # EMA actually moved the running stats off their init
     assert float(jnp.abs(bn["mean"]).max()) > 0.0
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

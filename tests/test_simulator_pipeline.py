@@ -93,3 +93,5 @@ def test_full_pipeline_to_training(simulated, tmp_path):
                  "object_to_track_hidden_dim": 32, "videos_hidden_dim": 48}
     result = training_main(spec, dataset, dataset, cfg, model_cfg)
     assert np.isfinite(result.history[0]["train"]["loss"])
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py

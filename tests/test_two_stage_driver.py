@@ -99,3 +99,5 @@ def test_opnet_and_analyze_on_real_detections(stage_dirs):
     for col in ("overall_iou", "contained_mean_iou",
                 "full_occlusion_mean_iou", "overall_map_0.5"):
         assert col in header, f"missing {col} stratification"
+
+pytestmark = pytest.mark.slow  # full-lane: see tests/conftest.py
