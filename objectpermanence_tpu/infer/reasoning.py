@@ -20,6 +20,15 @@ from objectpermanence_tpu.ops.boxes import FRAME_SHAPES
 from objectpermanence_tpu.parallel.mesh import make_mesh, pad_batch_to, shard_batch
 
 
+def fused_opnet_eligible(model_name: str) -> bool:
+    """Whether `opnet_fused_forward` implements this architecture: the
+    dense OPNet (two LSTMs + dense box head). The MLP variant has no
+    temporal LSTM and the MoE variant replaces the dense box head with
+    sharded experts — both must take the generic `spec.apply` path."""
+    return (model_name.startswith("opnet")
+            and "mlp" not in model_name and "moe" not in model_name)
+
+
 def make_predict_step(spec: ModelSpec, out_dtype=np.int32,
                       compute_dtype=None, time_chunk: int = None):
     """Jit forward -> integer pixel boxes. On TPU backends the OPNet family
@@ -39,7 +48,7 @@ def make_predict_step(spec: ModelSpec, out_dtype=np.int32,
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() == "tpu"
-    use_fused_opnet = on_tpu and spec.name.startswith("opnet") and "mlp" not in spec.name
+    use_fused_opnet = on_tpu and fused_opnet_eligible(spec.name)
     fused_dtype = compute_dtype if compute_dtype is not None else jnp.float32
 
     @jax.jit

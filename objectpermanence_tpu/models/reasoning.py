@@ -121,12 +121,22 @@ def opnet_moe_init(key, config: Dict[str, int], dtype=jnp.float32) -> Params:
     }
 
 
-def opnet_moe_apply(params: Params, boxes: jax.Array, *, precision=None, **_) -> tuple:
-    from objectpermanence_tpu.parallel.expert import moe_head_apply
+def opnet_moe_apply(params: Params, boxes: jax.Array, *, precision=None,
+                    return_aux: bool = False, **_) -> tuple:
+    """With `return_aux=True` additionally returns the Switch
+    load-balance auxiliary (`parallel/expert.py:moe_balance_loss`) computed
+    on the same hidden features, for the training loss — top-1 routing
+    collapses onto one expert without it."""
+    from objectpermanence_tpu.parallel.expert import (
+        moe_balance_loss, moe_head_apply,
+    )
 
     selected, logits = _who_to_attend(params, boxes, precision)
     hidden = lstm_apply(params["video_lstm"], selected, precision=precision)
     y_boxes = moe_head_apply(params["box_head"], hidden, precision=precision)
+    if return_aux:
+        aux = moe_balance_loss(params["box_head"], hidden, precision)
+        return y_boxes, jnp.swapaxes(logits, 1, 2), aux
     return y_boxes, jnp.swapaxes(logits, 1, 2)
 
 

@@ -45,6 +45,10 @@ class ModelSpec:
     feature_width: int          # 5 or 6 input features per object slot
     double_output: bool         # returns (boxes, attention logits)
     no_labels: bool             # masked-loss training variant
+    # weight of the model's auxiliary training loss; non-zero only for
+    # opnet_moe (Switch load-balance term, alpha=0.01 per Fedus et al.),
+    # whose apply(..., return_aux=True) returns it as a third output
+    aux_loss_weight: float = 0.0
 
 
 def _base_name(name: str) -> str:
@@ -72,9 +76,13 @@ def get_model_spec(name: str, config: Optional[Dict] = None) -> ModelSpec:
         # reasoning.transformer_lstm_apply
         from functools import partial
         apply = partial(apply, reference_compat=True)
+    aux_weight = 0.0
+    if base == "opnet_moe":
+        aux_weight = float((config or {}).get("moe_balance_weight", 0.01))
     return ModelSpec(
         name=name, init=init, apply=apply, feature_width=width,
         double_output=double, no_labels=name in NO_LABELS_MODELS,
+        aux_loss_weight=aux_weight,
     )
 
 

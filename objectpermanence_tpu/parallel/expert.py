@@ -81,6 +81,27 @@ def moe_head_apply(params: Params, h, *, precision=None):
     return combined * gate[..., None]
 
 
+def moe_balance_loss(params: Params, h, precision=None):
+    """Switch-Transformers load-balance auxiliary (Fedus et al. 2021,
+    eq. 4-6): `E * sum_e f_e * P_e`, where `f_e` is the fraction of tokens
+    whose top-1 expert is `e` and `P_e` the mean router probability mass on
+    `e`. Equals 1 at perfectly uniform routing and grows as routing
+    collapses; gradients reach the router through `P_e` (the `f_e` argmax
+    is non-differentiable, as in the paper). Without this term the top-1
+    router collapses in practice — the first trained opnet_moe sweep put
+    98.8% of tokens on one expert."""
+    logits = jnp.einsum("...i,ie->...e", h, params["router"],
+                        precision=precision)
+    probs = jax.nn.softmax(logits, axis=-1)
+    num_experts = params["router"].shape[-1]
+    token_axes = tuple(range(probs.ndim - 1))
+    top1 = jnp.argmax(probs, axis=-1)
+    f = jnp.mean(jax.nn.one_hot(top1, num_experts, dtype=probs.dtype),
+                 axis=token_axes)
+    p = jnp.mean(probs, axis=token_axes)
+    return num_experts * jnp.sum(f * p)
+
+
 def expert_param_shardings(mesh) -> Params:
     """Sharding tree for `moe_head_init` output: experts split over
     EXPERT_AXIS, router replicated."""

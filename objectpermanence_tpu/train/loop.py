@@ -41,12 +41,20 @@ from objectpermanence_tpu.train.plateau import ReduceLROnPlateau
 from objectpermanence_tpu.utils import checkpoint as ckpt
 
 
-def _forward(spec: ModelSpec, params, boxes, deterministic, rng):
+def _forward(spec: ModelSpec, params, boxes, deterministic, rng,
+             with_aux: bool = False):
+    """-> model output, or (output, aux loss scalar) when `with_aux` and the
+    spec carries an auxiliary training loss (opnet_moe's Switch balance
+    term)."""
+    if with_aux and spec.aux_loss_weight:
+        out, _, aux = spec.apply(params, boxes, deterministic=deterministic,
+                                 rng=rng, return_aux=True)
+        return out, aux
     if spec.double_output:
         out, _ = spec.apply(params, boxes, deterministic=deterministic, rng=rng)
     else:
         out = spec.apply(params, boxes, deterministic=deterministic, rng=rng)
-    return out
+    return (out, jnp.zeros(())) if with_aux else out
 
 
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
@@ -66,11 +74,15 @@ def make_train_step(spec: ModelSpec, optimizer):
             from objectpermanence_tpu.ops import lstm as lstm_ops
             # deterministic=False: dropout active in training (transformer)
             with lstm_ops.fused_scan(on_tpu):
-                out = _forward(spec, p, boxes, False, rng)
+                out, aux = _forward(spec, p, boxes, False, rng, with_aux=True)
             # weights: (B,) 0/1 vector zeroing the repeated-row padding of
             # the ragged final batch so duplicates carry no gradient
-            return total_loss(out, labels, mask, spec.no_labels,
-                              sample_weight=weights)
+            loss, metrics = total_loss(out, labels, mask, spec.no_labels,
+                                       sample_weight=weights)
+            if spec.aux_loss_weight:
+                loss = loss + spec.aux_loss_weight * aux
+                metrics = {**metrics, "loss": loss, "balance_loss": aux}
+            return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -81,6 +81,10 @@ def main() -> None:
     ap.add_argument("--sweep-dir", default="sweep",
                     help="results/checkpoints subdir under --root (use a "
                          "distinct dir per budget, e.g. sweep_160ep_800)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training when a best-dev checkpoint already "
+                         "exists (recover the table row after a crash "
+                         "between training and evaluation)")
     args = ap.parse_args()
 
     from objectpermanence_tpu.analysis.offline import analyze_results
@@ -100,32 +104,40 @@ def main() -> None:
             if results_path.exists() else [])
     for model in args.models:
         spec = get_model_spec(model)
-        datasets = {}
-        for split in ("train", "dev"):
-            d = root / split
-            datasets[split] = ingest_directory(
-                d / "od_perception", d / "labels", spec.feature_width,
-                training_mask_file(spec, d), cache)
-        train_ds = subset(datasets["train"], args.train_limit)
         ckpt_dir = sweep_root / model
-        train_config = {
-            "batch_size": 16, "inference_batch_size": 400,
-            "num_epochs": args.epochs, "print_step": 1000,
-            "learning_rate": 1e-3, "lr_scheduler_patience": 2,
-            "lr_scheduler_factor": 0.8,
-            "checkpoints_path": str(ckpt_dir),
-            "metrics_file": str(ckpt_dir / "metrics.jsonl"),
-            "train_sample_dir": "x", "train_labels_dir": "x",
-            "train_containment_file": "x", "dev_sample_dir": "x",
-            "dev_labels_dir": "x", "dev_containment_file": "x",
-        }
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
-        print(f"[sweep] training {model} ({len(train_ds)} videos, "
-              f"{args.epochs} epochs)...", flush=True)
-        t0 = time.time()
-        result = training_main(spec, train_ds, datasets["dev"], train_config,
-                               MODEL_CONFIGS[model])
-        train_s = time.time() - t0
+        best_existing = best_params_checkpoint(ckpt_dir / model)
+        if args.eval_only and best_existing is not None:
+            # checkpoint name is {dd-mm-yy}_{dev_iou} (train/loop.py)
+            print(f"[sweep] eval-only: reusing {best_existing}", flush=True)
+            best_dev = float(best_existing.name.split("_")[-1])
+            train_s = None
+        else:
+            datasets = {}
+            for split in ("train", "dev"):
+                d = root / split
+                datasets[split] = ingest_directory(
+                    d / "od_perception", d / "labels", spec.feature_width,
+                    training_mask_file(spec, d), cache)
+            train_ds = subset(datasets["train"], args.train_limit)
+            train_config = {
+                "batch_size": 16, "inference_batch_size": 400,
+                "num_epochs": args.epochs, "print_step": 1000,
+                "learning_rate": 1e-3, "lr_scheduler_patience": 2,
+                "lr_scheduler_factor": 0.8,
+                "checkpoints_path": str(ckpt_dir),
+                "metrics_file": str(ckpt_dir / "metrics.jsonl"),
+                "train_sample_dir": "x", "train_labels_dir": "x",
+                "train_containment_file": "x", "dev_sample_dir": "x",
+                "dev_labels_dir": "x", "dev_containment_file": "x",
+            }
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            print(f"[sweep] training {model} ({len(train_ds)} videos, "
+                  f"{args.epochs} epochs)...", flush=True)
+            t0 = time.time()
+            result = training_main(spec, train_ds, datasets["dev"],
+                                   train_config, MODEL_CONFIGS[model])
+            train_s = round(time.time() - t0)
+            best_dev = result.best_dev_iou
 
         best = best_params_checkpoint(ckpt_dir / model)
         test_dir = root / "test"
@@ -152,14 +164,14 @@ def main() -> None:
         rows = [r for r in rows if r["model"] != model]
         rows.append({
             "model": model,
-            "best_dev_miou": round(result.best_dev_iou, 4),
+            "best_dev_miou": round(best_dev, 4),
             "test_overall_iou": round(float(df["overall_iou"].mean()), 4),
             "test_contained_iou": round(
                 float(df["contained_mean_iou"].mean()), 4),
             "test_visible_iou": round(
                 float(df["visibility_gt_0_mean_iou"].mean()), 4),
             "test_map_0.5": round(float(df["overall_map_0.5"].mean()), 4),
-            "train_seconds": round(train_s),
+            "train_seconds": train_s,
         })
         print(f"[sweep] {model}: {rows[-1]}", flush=True)
         results_path.write_text(json.dumps(rows, indent=2))

@@ -78,3 +78,67 @@ def test_opnet_moe_forward_and_grad():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     # the router must receive gradient through the top-1 gate
     assert float(jnp.max(jnp.abs(grads["box_head"]["router"]))) > 0
+
+
+def test_fused_kernel_dispatch_excludes_moe_and_mlp():
+    """opnet_moe's box head has expert weights, not the dense {"w","b"} the
+    fused Pallas kernel reads — routing it there crashed inference after
+    the first trained moe sweep (KeyError: 'w'). The eligibility predicate
+    must admit only the dense-OPNet family."""
+    from objectpermanence_tpu.infer.reasoning import fused_opnet_eligible
+    assert fused_opnet_eligible("opnet")
+    assert fused_opnet_eligible("opnet_no_labels")
+    assert not fused_opnet_eligible("opnet_moe")
+    assert not fused_opnet_eligible("opnet_lstm_mlp")
+    assert not fused_opnet_eligible("baseline_lstm")
+    assert not fused_opnet_eligible("transformer_lstm")
+
+
+def test_moe_balance_loss_detects_collapse():
+    """Switch aux (Fedus et al. eq. 4-6): 1.0 at uniform routing, -> E as
+    routing collapses onto one expert."""
+    from objectpermanence_tpu.parallel.expert import (
+        moe_balance_loss, moe_head_init,
+    )
+    moe = moe_head_init(jax.random.PRNGKey(0), 16, 4, num_experts=4,
+                        expert_hidden=8)
+    h = jnp.asarray(np.abs(np.random.RandomState(0).randn(64, 16)) + 0.1,
+                    jnp.float32)
+    # near-uniform: zero router -> all probs 1/E, f_e sums to 1
+    uniform = dict(moe, router=jnp.zeros_like(moe["router"]))
+    assert np.isclose(float(moe_balance_loss(uniform, h)), 1.0, atol=1e-5)
+    # collapsed: all-positive features + a +100 column drive every token's
+    # top-1 (and ~all probability mass) onto expert 2
+    collapsed = dict(moe, router=jnp.zeros_like(moe["router"])
+                     .at[:, 2].set(100.0))
+    val = float(moe_balance_loss(collapsed, h))
+    assert val > 3.5, f"collapse should push aux toward E=4, got {val}"
+
+
+def test_moe_train_step_applies_balance_loss():
+    """The train step must add alpha*aux for opnet_moe (metrics carry
+    balance_loss) and push gradient into the router THROUGH the aux, not
+    only through the gate."""
+    import optax
+    from objectpermanence_tpu.models.registry import get_model_spec
+    from objectpermanence_tpu.train.loop import make_train_step
+
+    spec = get_model_spec("opnet_moe")
+    assert spec.aux_loss_weight == 0.01
+    config = {"object_to_track_pred_dim": 15,
+              "object_to_track_hidden_dim": 32, "videos_hidden_dim": 48}
+    params = spec.init(jax.random.PRNGKey(0), config)
+    rs = np.random.RandomState(1)
+    boxes = jnp.asarray(rs.rand(4, 12, 15, 6), jnp.float32)
+    labels = jnp.asarray(rs.rand(4, 12, 4), jnp.float32)
+    mask = jnp.ones((4, 12, 4), jnp.float32)
+    opt = optax.adam(1e-3)
+    step = make_train_step(spec, opt)
+    _, _, metrics = step(params, opt.init(params), boxes, labels, mask,
+                         jax.random.PRNGKey(2))
+    assert "balance_loss" in metrics
+    bal = float(metrics["balance_loss"])
+    assert np.isfinite(bal) and bal >= 1.0 - 1e-4
+    # loss includes the weighted aux exactly
+    assert np.isclose(float(metrics["loss"]),
+                      float(metrics["pred_loss"]) + 0.01 * bal, atol=1e-5)
