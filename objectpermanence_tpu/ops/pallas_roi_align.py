@@ -40,8 +40,25 @@ from jax.experimental.pallas import tpu as pltpu
 # callback, and the first violation emits a warning. Disable with
 # OP_TPU_ROI_CONTRACT_STATS=0 (stats are trace-time gated, so a jit compiled
 # while disabled never pays the callback).
-CONTRACT_STATS_ENABLED = os.environ.get(
-    "OP_TPU_ROI_CONTRACT_STATS", "1") != "0"
+#
+# Backends whose PjRt client cannot execute host send/recv callbacks: a
+# jax.debug.callback dispatched there raises UNIMPLEMENTED at RUN time (after
+# a full compile), so the stats must be trace-time disabled on them. The
+# tunnel's axon client is one (observed: "axon_pjrt does not support host
+# send/recv callbacks"). OP_TPU_ROI_CONTRACT_STATS=force overrides the probe.
+_CALLBACK_UNSUPPORTED_BACKENDS = ("axon",)
+
+
+def _contract_stats_active() -> bool:
+    env = os.environ.get("OP_TPU_ROI_CONTRACT_STATS", "1")
+    if env == "0":
+        return False
+    if env == "force":
+        return True
+    try:
+        return jax.default_backend() not in _CALLBACK_UNSUPPORTED_BACKENDS
+    except Exception:  # backend init failure: never break the compute path
+        return False
 _CONTRACT_STATS = {"rois": 0, "out_of_contract": 0, "warned": False}
 
 
@@ -1050,7 +1067,7 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
              .reshape(batch, nc, hp, wp * cc))
 
     levels = levels.astype(jnp.int32)
-    if CONTRACT_STATS_ENABLED:
+    if _contract_stats_active():
         oow = _out_of_window_mask(
             rois, levels, level_shapes,
             [_pad_h(h) for h, _, _ in level_shapes],
