@@ -41,12 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 # OP_TPU_ROI_CONTRACT_STATS=0 (stats are trace-time gated, so a jit compiled
 # while disabled never pays the callback).
 #
-# Backends whose PjRt client cannot execute host send/recv callbacks: a
+# Platforms whose PjRt client cannot execute host send/recv callbacks: a
 # jax.debug.callback dispatched there raises UNIMPLEMENTED at RUN time (after
 # a full compile), so the stats must be trace-time disabled on them. The
 # tunnel's axon client is one (observed: "axon_pjrt does not support host
-# send/recv callbacks"). OP_TPU_ROI_CONTRACT_STATS=force overrides the probe.
-_CALLBACK_UNSUPPORTED_BACKENDS = ("axon",)
+# send/recv callbacks"). Its devices register as platform "tpu", so
+# jax.default_backend() cannot identify it — the jax_platforms config string
+# can ("axon,cpu" under the tunnel; "cpu" when tests force CPU via
+# jax.config.update). OP_TPU_ROI_CONTRACT_STATS=force overrides the probe.
+_CALLBACK_UNSUPPORTED_PLATFORMS = ("axon",)
 
 
 def _contract_stats_active() -> bool:
@@ -56,8 +59,10 @@ def _contract_stats_active() -> bool:
     if env == "force":
         return True
     try:
-        return jax.default_backend() not in _CALLBACK_UNSUPPORTED_BACKENDS
-    except Exception:  # backend init failure: never break the compute path
+        platforms = str(jax.config.jax_platforms or "").split(",")
+        return not any(p in platforms
+                       for p in _CALLBACK_UNSUPPORTED_PLATFORMS)
+    except Exception:  # config probe failure: never break the compute path
         return False
 _CONTRACT_STATS = {"rois": 0, "out_of_contract": 0, "warned": False}
 
@@ -82,6 +87,35 @@ def _accumulate_contract_stats(violations, total) -> None:
             f"level) and get the documented window approximation; see "
             f"ops.pallas_roi_align.contract_stats() for running totals",
             RuntimeWarning, stacklevel=2)
+
+
+def _window_quant(itemsize: int, cc: int, win: int):
+    """The windowed kernel's alignment quanta and widened window size for a
+    feature dtype of `itemsize` bytes and channel chunk `cc` (see the long
+    comment in `roi_align_pallas_windowed` for the derivation)."""
+    y_quant = 8 * (4 // itemsize)          # f32: 8, bf16: 16
+    x_quant = 128 // math.gcd(cc, 128)     # x0 alignment so x0*cc % 128 == 0
+    quant = max(y_quant, x_quant)
+    win = -(-(win + quant) // quant) * quant
+    return win, y_quant, x_quant
+
+
+def windowed_out_of_contract_mask(rois, levels, level_shapes, *, channels,
+                                  itemsize: int = 4, pooled: int = 7,
+                                  sampling_ratio: int = 2,
+                                  channel_chunk: int = 128, win: int = 48):
+    """(B, N) bool — exactly the out-of-contract mask
+    `roi_align_pallas_windowed` at the same settings would count, WITHOUT
+    running the kernel. For post-hoc contract measurement on backends where
+    the in-dispatch host-callback counter is unavailable (the axon tunnel).
+    `level_shapes`: [(H_l, W_l, stride_l)] of the raw (unpadded) pyramid."""
+    cc = channel_chunk if channels % channel_chunk == 0 else channels
+    win, y_quant, x_quant = _window_quant(itemsize, cc, win)
+    hps = [-(-max(h, win) // y_quant) * y_quant for h, _, _ in level_shapes]
+    wps = [-(-max(w, win) // x_quant) * x_quant for _, w, _ in level_shapes]
+    return _out_of_window_mask(rois, levels.astype(jnp.int32),
+                               tuple(level_shapes), hps, wps, win, y_quant,
+                               x_quant, pooled, sampling_ratio)
 
 
 def _out_of_window_mask(rois, levels, level_shapes, hps_per_level,
@@ -1041,8 +1075,6 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     # and to the v5e f32 tile grid: Hp a multiple of 8 (sublane) and Wp*cc a
     # multiple of 128 (lane), so the in-kernel DMA slices are tile-aligned
     # (Mosaic cannot lower dynamic slices of tiled HBM dims otherwise)
-    y_quant = 8 * (4 // features[0].dtype.itemsize)   # f32: 8, bf16: 16
-    x_quant = 128 // math.gcd(cc, 128)     # x0 alignment so x0*cc % 128 == 0
     # widen the window by the alignment margin (origin flooring moves the
     # window back by < one quantum) and round to a multiple of BOTH quanta
     # (powers of two, so lcm == max), so the tile-aligned window covers
@@ -1050,8 +1082,9 @@ def roi_align_pallas_windowed(features: List[jax.Array], rois: jax.Array,
     # not enough: at the right level edge the clip bound is wps - win, and
     # if win is not an x_quant multiple that bound falls off the x grid —
     # flooring then shifts the window left past the rightmost taps.
-    quant = max(y_quant, x_quant)
-    win = -(-(win + quant) // quant) * quant
+    # (`_window_quant` is shared with `windowed_out_of_contract_mask` so the
+    # post-hoc contract measurement can never drift from the kernel.)
+    win, y_quant, x_quant = _window_quant(features[0].dtype.itemsize, cc, win)
     def _pad_h(h):
         return -(-max(h, win) // y_quant) * y_quant
     def _pad_w(w):

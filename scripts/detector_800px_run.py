@@ -164,10 +164,105 @@ def train(root: Path, geometry: str, epochs: int, batch: int, lr: float,
           flush=True)
 
 
+def contract(root: Path, tag: str, batches: int, batch: int) -> None:
+    """Post-hoc out-of-contract roi measurement, on CPU: the axon PjRt
+    client cannot execute the in-dispatch host-callback counter (see
+    ops/pallas_roi_align), so windowed 800px chip runs report rate=None.
+    Proposals precede pooling and are therefore roi-backend-independent,
+    so this re-derives the rois BOTH windowed dispatch points see with the
+    TRAINED checkpoint — training: RPN proposals + gt
+    (models/detector/training.py:145-166); inference: proposals
+    (models/detector/detector.py:214-219) — and applies the kernel's exact
+    contract mask (`windowed_out_of_contract_mask`, shared `_window_quant`
+    geometry). Merges the rates into <tag>/report.json."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from objectpermanence_tpu.models.detector import anchors as anchor_lib
+    from objectpermanence_tpu.models.detector import roi_heads, rpn
+    from objectpermanence_tpu.models.detector.detector import (
+        CaterDetector, forward_features, preprocess_images, propose,
+    )
+    from objectpermanence_tpu.ops.pallas_roi_align import (
+        windowed_out_of_contract_mask,
+    )
+    from objectpermanence_tpu.utils.checkpoint import best_params_checkpoint
+
+    out = root / tag
+    report_path = out / "report.json"
+    # gather backend: proposals are identical, and the windowed kernel
+    # itself need not (and cannot) run on CPU
+    config = _config("800", "gather")
+    best = best_params_checkpoint(out)
+    if best is None:
+        print(f"[contract] no checkpoint under {out}", flush=True)
+        return
+    params = CaterDetector.load(str(best), config).params
+    anchor_arrays = [jnp.asarray(a) for a in anchor_lib.pyramid_anchors(
+        config.feature_shapes(), config.strides, config.anchor_sizes)]
+    h, w = config.padded_hw
+    level_shapes = [(-(-h // s), -(-w // s), float(s))
+                    for s in roi_heads.ROI_STRIDES]
+
+    def _mask_counts(rois):
+        levels = jax.vmap(roi_heads.assign_levels)(rois)
+        m = windowed_out_of_contract_mask(rois, levels, level_shapes,
+                                          channels=config.fpn_channels)
+        return m.sum(), m.size
+
+    @jax.jit
+    def train_counts(p, images, gt_boxes):
+        prepped = preprocess_images(images, config)
+        pyramid = forward_features(p, prepped, config)
+        objectness, deltas = rpn.rpn_head_apply(p["rpn"], pyramid)
+        proposals, _ = rpn.generate_proposals(
+            [jax.nn.sigmoid(o) for o in objectness], deltas, anchor_arrays,
+            config.padded_hw, config.rpn_pre_nms_top_n,
+            config.rpn_post_nms_top_n, config.rpn_nms_thresh)
+        all_props = jnp.concatenate([proposals, gt_boxes * config.scale],
+                                    axis=1)
+        return _mask_counts(all_props)
+
+    @jax.jit
+    def eval_counts(p, images):
+        prepped = preprocess_images(images, config)
+        pyramid = forward_features(p, prepped, config)
+        proposals, _ = propose(p, pyramid, config, anchor_arrays)
+        return _mask_counts(proposals)
+
+    ds = _datasets(root)
+    stats = {}
+    for name, split, fn in (("train_contract_cpu", "train",
+                             lambda b: train_counts(
+                                 params, jnp.asarray(b["images"]),
+                                 jnp.asarray(b["gt_boxes"]))),
+                            ("eval_contract_cpu", "test",
+                             lambda b: eval_counts(
+                                 params, jnp.asarray(b["images"])))):
+        oow = tot = 0
+        it = ds[split].batches(batch, shuffle=True, seed=3)
+        for _ in range(batches):
+            v, t = fn(next(it))
+            oow += int(v)
+            tot += int(t)
+        stats[name] = {"rois": tot, "out_of_contract": oow,
+                       "rate": round(oow / tot, 5)}
+        print(f"[contract] {name}: {stats[name]}", flush=True)
+
+    if report_path.exists():
+        report = json.loads(report_path.read_text())
+        report.update(stats)
+        report_path.write_text(json.dumps(report, indent=2))
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "contract.json").write_text(json.dumps(stats, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=["render", "steptime", "train800",
-                                      "native"])
+                                      "native", "contract"])
     ap.add_argument("--root", type=Path, default=Path("/root/data/det800"))
     ap.add_argument("--src", type=Path, default=Path("/root/data/sim4k"))
     ap.add_argument("--det-samples", type=int, default=2)
@@ -185,6 +280,8 @@ def main() -> None:
         train(args.root, "800", args.epochs, 4, args.lr, "det800")
     elif args.stage == "native":
         train(args.root, "native", args.epochs, 8, args.lr, "detnative")
+    elif args.stage == "contract":
+        contract(args.root, "det800", batches=4, batch=4)
 
 
 if __name__ == "__main__":

@@ -355,6 +355,12 @@ def test_windowed_contract_stats():
     assert stats["rois"] == rois.shape[1]
     assert stats["out_of_contract"] == 3
     assert pra._CONTRACT_STATS["warned"]
+    # the public post-hoc helper (CPU contract measurement on callback-less
+    # backends) must agree exactly with the in-dispatch mask
+    level_shapes = [(h, w, float(s)) for (h, w), s in zip(shapes, ROI_STRIDES)]
+    m = np.asarray(pra.windowed_out_of_contract_mask(
+        rois, levels, level_shapes, channels=C, channel_chunk=4, win=32))
+    assert m.sum() == 3 and m[0, n_square:].all() and not m[0, :n_square].any()
     # the guarantee the counter exists to protect: unflagged rois are exact
     np.testing.assert_allclose(got[0, :n_square], np.asarray(ref)[0, :n_square],
                                rtol=1e-5, atol=1e-6)
