@@ -82,12 +82,19 @@ def action_order_classes(n: int = 2, unique: bool = False) -> List:
     orderings = list(product(ORDERING, repeat=n - 1))
     classes = list(product(action_sets, orderings))
     if unique:
-        def reverse(o):
-            return {("before",): ("after",), ("after",): ("before",),
-                    ("during",): ("during",)}[o]
+        # a class and its full reversal (actions reversed, orderings
+        # reversed with before<->after flipped) describe the same event
+        # set; keep the first of each pair (matches the reference's n=2
+        # pair dedup, and generalizes it to any n)
+        flip = {BEFORE: AFTER, AFTER: BEFORE, DURING: DURING}
+        def reverse(el):
+            return (tuple(reversed(el[0])),
+                    tuple(flip[o] for o in reversed(el[1])))
+        seen = set()
         uniq = []
         for el in classes:
-            if el not in uniq and ((el[0][1], el[0][0]), reverse(el[1])) not in uniq:
+            if el not in seen and reverse(el) not in seen:
+                seen.add(el)
                 uniq.append(el)
         classes = uniq
     return classes
@@ -163,7 +170,6 @@ def write_task_labels(scenes_dir, output_dir, *, seed: int = 0,
                 scene, order_classes, n=action_order_n))))
 
     train, val = train_test_split(names, seed=seed)
-    split_names = {"train": set(train), "val": set(val)}
 
     paths = {
         "localize": output_dir / "localize.txt",
@@ -182,9 +188,8 @@ def write_task_labels(scenes_dir, output_dir, *, seed: int = 0,
         dset_dir = output_dir / dset_name
         dset_dir.mkdir(exist_ok=True)
         by_name = dict(rows)
-        for split, members in split_names.items():
-            lines = [f"{n} {by_name[n]}\n"
-                     for n in (train if split == "train" else val)
+        for split, members in (("train", train), ("val", val)):
+            lines = [f"{n} {by_name[n]}\n" for n in members
                      if len(by_name[n]) > 0]
             p = dset_dir / f"{split}.txt"
             p.write_text("".join(lines))

@@ -133,10 +133,12 @@ def opnet_moe_apply(params: Params, boxes: jax.Array, *, precision=None,
 
     selected, logits = _who_to_attend(params, boxes, precision)
     hidden = lstm_apply(params["video_lstm"], selected, precision=precision)
-    y_boxes = moe_head_apply(params["box_head"], hidden, precision=precision)
     if return_aux:
-        aux = moe_balance_loss(params["box_head"], hidden, precision)
-        return y_boxes, jnp.swapaxes(logits, 1, 2), aux
+        y_boxes, probs = moe_head_apply(params["box_head"], hidden,
+                                        precision=precision,
+                                        return_probs=True)
+        return y_boxes, jnp.swapaxes(logits, 1, 2), moe_balance_loss(probs)
+    y_boxes = moe_head_apply(params["box_head"], hidden, precision=precision)
     return y_boxes, jnp.swapaxes(logits, 1, 2)
 
 

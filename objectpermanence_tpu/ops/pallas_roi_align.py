@@ -68,7 +68,12 @@ _CONTRACT_STATS = {"rois": 0, "out_of_contract": 0, "warned": False}
 
 
 def contract_stats() -> dict:
-    """Snapshot of {rois, out_of_contract} seen by windowed dispatches."""
+    """Snapshot of {rois, out_of_contract} seen by windowed dispatches.
+    Counts every DISPATCHED roi slot — including NMS-suppressed /
+    score-masked proposals and padded gt rows that never influence the
+    model output (the dispatch has no validity information). For a rate
+    over rois that matter, use `scripts/detector_800px_run.py contract`'s
+    valid_rate, which masks by proposal score / gt validity."""
     return {k: _CONTRACT_STATS[k] for k in ("rois", "out_of_contract")}
 
 

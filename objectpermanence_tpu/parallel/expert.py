@@ -59,41 +59,43 @@ def _expert_mlp(w1, w2, h, precision):
 
 
 def moe_route(params: Params, h, precision=None):
-    """-> (top1 expert index (...,), gate probability (...,))."""
+    """-> (top1 expert index (...,), gate probability (...,),
+    router probs (..., E))."""
     logits = jnp.einsum("...i,ie->...e", h, params["router"],
                         precision=precision)
     probs = jax.nn.softmax(logits, axis=-1)
     top1 = jnp.argmax(probs, axis=-1)
     gate = jnp.max(probs, axis=-1)
-    return top1, gate
+    return top1, gate, probs
 
 
-def moe_head_apply(params: Params, h, *, precision=None):
+def moe_head_apply(params: Params, h, *, precision=None,
+                   return_probs: bool = False):
     """Dense single-device reference: evaluate every expert and combine
     with the one-hot top-1 gate (gradients reach the router through the
-    gate probability, as in Switch Transformers)."""
-    top1, gate = moe_route(params, h, precision)
+    gate probability, as in Switch Transformers). With `return_probs` also
+    returns the router probs, so the training loss can derive the balance
+    auxiliary from the SAME routing computation."""
+    top1, gate, probs = moe_route(params, h, precision)
     num_experts = params["w1"].shape[0]
     outs = jax.vmap(lambda w1, w2: _expert_mlp(w1, w2, h, precision)
                     )(params["w1"], params["w2"])            # (E, ..., out)
     onehot = jax.nn.one_hot(top1, num_experts, dtype=h.dtype)  # (..., E)
     combined = jnp.einsum("e...o,...e->...o", outs, onehot)
-    return combined * gate[..., None]
+    out = combined * gate[..., None]
+    return (out, probs) if return_probs else out
 
 
-def moe_balance_loss(params: Params, h, precision=None):
+def moe_balance_loss(probs):
     """Switch-Transformers load-balance auxiliary (Fedus et al. 2021,
-    eq. 4-6): `E * sum_e f_e * P_e`, where `f_e` is the fraction of tokens
-    whose top-1 expert is `e` and `P_e` the mean router probability mass on
-    `e`. Equals 1 at perfectly uniform routing and grows as routing
-    collapses; gradients reach the router through `P_e` (the `f_e` argmax
-    is non-differentiable, as in the paper). Without this term the top-1
-    router collapses in practice — the first trained opnet_moe sweep put
-    98.8% of tokens on one expert."""
-    logits = jnp.einsum("...i,ie->...e", h, params["router"],
-                        precision=precision)
-    probs = jax.nn.softmax(logits, axis=-1)
-    num_experts = params["router"].shape[-1]
+    eq. 4-6) from router probs (..., E): `E * sum_e f_e * P_e`, where `f_e`
+    is the fraction of tokens whose top-1 expert is `e` and `P_e` the mean
+    router probability mass on `e`. Equals 1 at perfectly uniform routing
+    and grows as routing collapses; gradients reach the router through
+    `P_e` (the `f_e` argmax is non-differentiable, as in the paper).
+    Without this term the top-1 router collapses in practice — the first
+    trained opnet_moe sweep put 98.8% of tokens on one expert."""
+    num_experts = probs.shape[-1]
     token_axes = tuple(range(probs.ndim - 1))
     top1 = jnp.argmax(probs, axis=-1)
     f = jnp.mean(jax.nn.one_hot(top1, num_experts, dtype=probs.dtype),
@@ -130,7 +132,7 @@ def make_expert_parallel_moe_head(mesh, precision=None):
     def ep_head(params, h):
         local_e = params["w1"].shape[0]
         first = jax.lax.axis_index(EXPERT_AXIS) * local_e
-        top1, gate = moe_route(params, h, precision)
+        top1, gate, _ = moe_route(params, h, precision)
         local = top1 - first                                  # (B, T)
         outs = jax.vmap(lambda w1, w2: _expert_mlp(w1, w2, h, precision)
                         )(params["w1"], params["w2"])         # (Eloc,B,T,out)

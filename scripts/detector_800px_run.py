@@ -86,7 +86,9 @@ def steptime(root: Path, steps: int) -> None:
         make_detector_train_step,
     )
 
-    ds = _datasets(root)["train"]
+    from objectpermanence_tpu.data.detection_dataset import DetectionDataset
+    ds = DetectionDataset(root / "train" / "det_images",
+                          root / "train" / "detection_annotations.csv")
     rows = {}
     for name, geometry, backend, batch in (
             ("800px_windowed", "800", "windowed", 4),
@@ -205,49 +207,65 @@ def contract(root: Path, tag: str, batches: int, batch: int) -> None:
     level_shapes = [(-(-h // s), -(-w // s), float(s))
                     for s in roi_heads.ROI_STRIDES]
 
-    def _mask_counts(rois):
+    from objectpermanence_tpu.ops.nms import NEG_INF
+
+    def _mask_counts(rois, valid, pyramid):
+        """(dispatched oow, dispatched total, valid oow, valid total):
+        dispatched = every roi slot the windowed kernel would see (matches
+        the in-dispatch counter); valid = only rois that influence the
+        model output (NMS-survivor proposals / real gt rows) — the rate
+        that matters for accuracy."""
         levels = jax.vmap(roi_heads.assign_levels)(rois)
-        m = windowed_out_of_contract_mask(rois, levels, level_shapes,
-                                          channels=config.fpn_channels)
-        return m.sum(), m.size
+        m = windowed_out_of_contract_mask(
+            rois, levels, level_shapes, channels=config.fpn_channels,
+            itemsize=pyramid[0].dtype.itemsize)
+        return (m.sum(), m.size,
+                jnp.where(valid, m, False).sum(), valid.sum())
 
     @jax.jit
-    def train_counts(p, images, gt_boxes):
+    def train_counts(p, images, gt_boxes, gt_valid):
         prepped = preprocess_images(images, config)
         pyramid = forward_features(p, prepped, config)
         objectness, deltas = rpn.rpn_head_apply(p["rpn"], pyramid)
-        proposals, _ = rpn.generate_proposals(
+        proposals, prop_scores = rpn.generate_proposals(
             [jax.nn.sigmoid(o) for o in objectness], deltas, anchor_arrays,
             config.padded_hw, config.rpn_pre_nms_top_n,
             config.rpn_post_nms_top_n, config.rpn_nms_thresh)
         all_props = jnp.concatenate([proposals, gt_boxes * config.scale],
                                     axis=1)
-        return _mask_counts(all_props)
+        valid = jnp.concatenate([prop_scores > NEG_INF / 10, gt_valid],
+                                axis=1)
+        return _mask_counts(all_props, valid, pyramid)
 
     @jax.jit
     def eval_counts(p, images):
         prepped = preprocess_images(images, config)
         pyramid = forward_features(p, prepped, config)
-        proposals, _ = propose(p, pyramid, config, anchor_arrays)
-        return _mask_counts(proposals)
+        proposals, prop_scores = propose(p, pyramid, config, anchor_arrays)
+        return _mask_counts(proposals, prop_scores > NEG_INF / 10, pyramid)
 
     ds = _datasets(root)
     stats = {}
     for name, split, fn in (("train_contract_cpu", "train",
                              lambda b: train_counts(
                                  params, jnp.asarray(b["images"]),
-                                 jnp.asarray(b["gt_boxes"]))),
+                                 jnp.asarray(b["gt_boxes"]),
+                                 jnp.asarray(b["gt_valid"]))),
                             ("eval_contract_cpu", "test",
                              lambda b: eval_counts(
                                  params, jnp.asarray(b["images"])))):
-        oow = tot = 0
+        oow = tot = voow = vtot = 0
         it = ds[split].batches(batch, shuffle=True, seed=3)
         for _ in range(batches):
-            v, t = fn(next(it))
-            oow += int(v)
+            o, t, vo, vt = fn(next(it))
+            oow += int(o)
             tot += int(t)
+            voow += int(vo)
+            vtot += int(vt)
         stats[name] = {"rois": tot, "out_of_contract": oow,
-                       "rate": round(oow / tot, 5)}
+                       "rate": round(oow / tot, 5),
+                       "valid_rois": vtot, "valid_out_of_contract": voow,
+                       "valid_rate": round(voow / max(vtot, 1), 5)}
         print(f"[contract] {name}: {stats[name]}", flush=True)
 
     if report_path.exists():

@@ -64,11 +64,14 @@ def main() -> None:
 
     num_experts = params["box_head"]["w1"].shape[0]
     counts = np.zeros(num_experts, np.int64)
-    gates = []
+    gate_sum = 0.0
+    gate_n = 0
     for i in range(0, len(ds), args.batch):
-        top1, gate = route(ds.boxes[i:i + args.batch])
+        top1, gate, _ = route(ds.boxes[i:i + args.batch])
         counts += np.bincount(np.asarray(top1).ravel(), minlength=num_experts)
-        gates.append(float(np.asarray(gate).mean()))
+        gate = np.asarray(gate)
+        gate_sum += float(gate.sum())      # token-weighted: the ragged final
+        gate_n += gate.size                # batch counts by its actual size
 
     frac = counts / counts.sum()
     report = {
@@ -76,7 +79,7 @@ def main() -> None:
         "videos": len(ds),
         "expert_fraction": [round(float(f), 4) for f in frac],
         "max_expert_fraction": round(float(frac.max()), 4),
-        "mean_gate_prob": round(float(np.mean(gates)), 4),
+        "mean_gate_prob": round(gate_sum / gate_n, 4),
     }
     out = args.root / args.sweep_dir / "moe_balance.json"
     out.write_text(json.dumps(report, indent=2))

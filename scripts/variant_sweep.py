@@ -107,10 +107,14 @@ def main() -> None:
         ckpt_dir = sweep_root / model
         best_existing = best_params_checkpoint(ckpt_dir / model)
         if args.eval_only and best_existing is not None:
-            # checkpoint name is {dd-mm-yy}_{dev_iou} (train/loop.py)
             print(f"[sweep] eval-only: reusing {best_existing}", flush=True)
-            best_dev = float(best_existing.name.split("_")[-1])
-            train_s = None
+            # prefer the full-precision value from a prior results row (the
+            # checkpoint dir name — {dd-mm-yy}_{dev_iou}, train/loop.py —
+            # rounds the dev IoU to 3 decimals)
+            prior = next((r for r in rows if r["model"] == model), None)
+            best_dev = (prior["best_dev_miou"] if prior
+                        else float(best_existing.name.split("_")[-1]))
+            train_s = prior.get("train_seconds") if prior else None
         else:
             datasets = {}
             for split in ("train", "dev"):

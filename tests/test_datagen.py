@@ -165,6 +165,28 @@ def test_write_task_labels(tmp_path):
     assert meta["num_classes"] == len(classes)
 
 
+def test_action_order_n_generalizes(tmp_path):
+    """action_order_n other than the default 2 must work (n=1: single
+    actions dedup to the 14 ACTION_CLASSES; n=3: triple orderings) — the
+    first uniq implementation only handled 1-element ordering tuples and
+    crashed for every non-default n."""
+    assert len(cater_tasks.action_order_classes(n=1, unique=True)) == len(
+        cater_tasks.ACTION_CLASSES)
+    classes3 = cater_tasks.action_order_classes(n=3, unique=True)
+    # full set 14^3 * 3^2; dedup keeps one of each reversal pair, and only
+    # palindromic classes (reverse(el) == el) survive unpaired
+    assert 14**3 * 9 / 2 < len(classes3) < 14**3 * 9
+    scenes_dir = tmp_path / "scenes"
+    scenes_dir.mkdir()
+    (scenes_dir / "vid0.json").write_text(json.dumps(make_scene()))
+    paths = cater_tasks.write_task_labels(scenes_dir, tmp_path / "lists3",
+                                          action_order_n=3)
+    meta = json.loads(
+        (tmp_path / "lists3" / "actions_order_uniq" / "metadata.json")
+        .read_text())
+    assert meta["num_classes"] == len(classes3)
+
+
 def test_write_task_labels_drops_empty_multilabels(tmp_path):
     """The reference drops rows whose label string is empty
     (gen_train_test.py:320-323) — a scene with no actions must vanish from

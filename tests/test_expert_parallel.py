@@ -49,9 +49,10 @@ def test_routing_uses_multiple_experts():
     params = moe_head_init(jax.random.PRNGKey(2), 24, 4, num_experts=4,
                            expert_hidden=16)
     h = jnp.asarray(np.random.RandomState(1).randn(16, 10, 24), jnp.float32)
-    top1, gate = moe_route(params, h)
+    top1, gate, probs = moe_route(params, h)
     assert len(np.unique(np.asarray(top1))) >= 2
     assert np.all(np.asarray(gate) >= 1.0 / 4 - 1e-6)
+    assert probs.shape == h.shape[:-1] + (4,)
 
 
 @pytest.mark.slow
@@ -98,7 +99,7 @@ def test_moe_balance_loss_detects_collapse():
     """Switch aux (Fedus et al. eq. 4-6): 1.0 at uniform routing, -> E as
     routing collapses onto one expert."""
     from objectpermanence_tpu.parallel.expert import (
-        moe_balance_loss, moe_head_init,
+        moe_balance_loss, moe_head_init, moe_route,
     )
     moe = moe_head_init(jax.random.PRNGKey(0), 16, 4, num_experts=4,
                         expert_hidden=8)
@@ -106,12 +107,14 @@ def test_moe_balance_loss_detects_collapse():
                     jnp.float32)
     # near-uniform: zero router -> all probs 1/E, f_e sums to 1
     uniform = dict(moe, router=jnp.zeros_like(moe["router"]))
-    assert np.isclose(float(moe_balance_loss(uniform, h)), 1.0, atol=1e-5)
+    _, _, probs = moe_route(uniform, h)
+    assert np.isclose(float(moe_balance_loss(probs)), 1.0, atol=1e-5)
     # collapsed: all-positive features + a +100 column drive every token's
     # top-1 (and ~all probability mass) onto expert 2
     collapsed = dict(moe, router=jnp.zeros_like(moe["router"])
                      .at[:, 2].set(100.0))
-    val = float(moe_balance_loss(collapsed, h))
+    _, _, probs = moe_route(collapsed, h)
+    val = float(moe_balance_loss(probs))
     assert val > 3.5, f"collapse should push aux toward E=4, got {val}"
 
 
