@@ -131,7 +131,7 @@ def _preprocess_split_worker(root: Path, split: str, batch_size: int) -> None:
 
 
 def preprocess(root: Path, batch_size: int,
-               videos_per_proc: int = 400) -> None:
+               videos_per_proc: int = 400, limit: int = 0) -> None:
     import os
     import subprocess
 
@@ -147,8 +147,14 @@ def preprocess(root: Path, batch_size: int,
         out_dir = root / split / "od_real"
         out_dir.mkdir(parents=True, exist_ok=True)
         while True:
-            missing = sorted(p.stem for p in videos_dir.glob("*.avi")
-                             if not (out_dir / f"{p.stem}.pkl").exists())
+            names = sorted(p.stem for p in videos_dir.glob("*.avi"))
+            if limit:
+                # bounded run (e.g. the 800-video fair-budget regime): take
+                # the first N by name so reruns and the opnet/analyze stages
+                # see a deterministic prefix
+                names = names[:limit]
+            missing = [n for n in names
+                       if not (out_dir / f"{n}.pkl").exists()]
             if not missing:
                 print(f"[preprocess] {split}: complete", flush=True)
                 break
@@ -265,6 +271,10 @@ def main() -> None:
     ap.add_argument("--det-batch", type=int, default=8)
     ap.add_argument("--det-lr", type=float, default=5e-3)
     ap.add_argument("--preprocess-batch", type=int, default=32)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="(preprocess) cap each split at its first N videos "
+                         "(0 = all); dev/test are smaller than typical caps "
+                         "so this effectively bounds the train split")
     ap.add_argument("--epochs", type=int, default=160)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -277,7 +287,7 @@ def main() -> None:
     if args.stage == "preprocess-worker":
         _preprocess_split_worker(args.root, args.split, args.preprocess_batch)
     if args.stage in ("preprocess", "all"):
-        preprocess(args.root, args.preprocess_batch)
+        preprocess(args.root, args.preprocess_batch, limit=args.limit)
     if args.stage in ("opnet", "all"):
         opnet(args.root, args.src, args.epochs, args.resume)
     if args.stage in ("analyze", "all"):
