@@ -7,6 +7,7 @@ padded GT, deterministic shuffling, orbax checkpoints, detection mAP from
 `analysis/detection_eval.py` instead of pycocotools.
 """
 
+import shutil
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -60,13 +61,24 @@ def train_detector(train_dataset: DetectionDataset,
                    weight_decay: float = 5e-4, warmup_iters: int = 1000,
                    checkpoint_dir: str = "./checkpoints/detector",
                    print_step: int = 50, seed: int = 0, mesh=None,
-                   init_params=None) -> Dict:
+                   init_params=None, resume: bool = False) -> Dict:
     """With `mesh`, image batches are sharded over the mesh's data axis
     (reference `object_detection/training.py` is single-GPU; here XLA
     derives the gradient all-reduce from the input shardings). The batch
     size is rounded up to a multiple of the data axis. `init_params` starts
     from pretrained weights (the reference's COCO fine-tune path,
-    `object_detection/models.py:6-20`) instead of random init."""
+    `object_detection/models.py:6-20`) instead of random init.
+
+    `resume=True` restores the latest `<checkpoint_dir>/resume/epoch_NNNN`
+    full train state (params + SGD momentum) and continues from the next
+    epoch — long fine-tunes stream fresh host batches every step, which
+    leaks host-side transfer buffers on the axon tunnel client until the
+    OS kills the process (observed at twostage epoch 13/16), so epoch-level
+    restartability is a production requirement, not a convenience. Only the
+    latest epoch state is kept (a detector train state is ~100s of MB vs
+    the reasoning models' few MB). Per-epoch rng is derived by fold_in so a
+    resumed run sees the same step keys an uninterrupted one would.
+    `history` in the returned dict covers only the epochs run this call."""
     from objectpermanence_tpu.parallel.mesh import (
         batch_sharding, replicate, shard_batch,
     )
@@ -94,12 +106,25 @@ def train_detector(train_dataset: DetectionDataset,
                                           under_mesh=mesh is not None)
 
     checkpoint_dir = Path(checkpoint_dir)
-    rng = jax.random.PRNGKey(seed + 1)
+    start_epoch = 0
     best_map = -1.0
+    if resume:
+        latest = ckpt.latest_checkpoint(checkpoint_dir / "resume")
+        if latest is not None:
+            params, opt_state, meta = ckpt.restore_train_state(
+                latest, params, opt_state)
+            if mesh is not None:
+                params = jax.device_put(params, replicate(mesh))
+                opt_state = jax.device_put(opt_state, replicate(mesh))
+            start_epoch = int(meta["epoch"])
+            best_map = float(meta.get("best_map", -1.0))
+            print(f"Resumed detector training from {latest} "
+                  f"(epoch {start_epoch}, best mAP {best_map:.4f})", flush=True)
     history = []
     start = time.time()
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1), epoch)
         losses = []
         pending = []      # device-side losses; fetched at print boundaries
         for it, batch in enumerate(train_dataset.batches(
@@ -143,6 +168,15 @@ def train_detector(train_dataset: DetectionDataset,
                 best_map = metrics["mAP"]
                 ckpt.save_params(checkpoint_dir / f"best_{round(best_map, 3)}", params)
         history.append(metrics)
+
+        # epoch-granular resume state; keep only the newest (size: the full
+        # detector + momentum is ~100s of MB, unlike the reasoning models)
+        state_dir = checkpoint_dir / "resume" / f"epoch_{epoch + 1:04d}"
+        ckpt.save_train_state(state_dir, params, opt_state,
+                              {"epoch": epoch + 1, "best_map": best_map})
+        for old in (checkpoint_dir / "resume").iterdir():
+            if old.is_dir() and old != state_dir:
+                shutil.rmtree(old)
 
     ckpt.save_params(checkpoint_dir / "final", params)
     return {"params": params, "history": history, "best_map": best_map}

@@ -140,7 +140,7 @@ def train(root: Path, geometry: str, epochs: int, batch: int, lr: float,
     run = train_detector(datasets["train"], datasets["dev"], config,
                          num_epochs=epochs, batch_size=batch,
                          learning_rate=lr, checkpoint_dir=str(out),
-                         print_step=200)
+                         print_step=200, resume=True)
     train_s = time.time() - t0
     train_contract = pra.contract_stats()
 

@@ -64,7 +64,8 @@ def render(src: Path, root: Path, det_samples: int) -> None:
         print(f"[render] {split}: {n} videos ({time.time()-t0:.0f}s)", flush=True)
 
 
-def dettrain(root: Path, epochs: int, batch_size: int, lr: float) -> None:
+def dettrain(root: Path, epochs: int, batch_size: int, lr: float,
+             resume: bool = False) -> None:
     from objectpermanence_tpu.data.detection_dataset import DetectionDataset
     from objectpermanence_tpu.train.detector_loop import (
         evaluate_detector, train_detector,
@@ -86,7 +87,7 @@ def dettrain(root: Path, epochs: int, batch_size: int, lr: float) -> None:
                          num_epochs=epochs, batch_size=batch_size,
                          learning_rate=lr,
                          checkpoint_dir=str(root / "detector"),
-                         print_step=200)
+                         print_step=200, resume=resume)
     print(f"[dettrain] {time.time()-t0:.0f}s best dev mAP {run['best_map']:.4f}",
           flush=True)
     best = _best_detector_ckpt(root)
@@ -283,7 +284,8 @@ def main() -> None:
     if args.stage in ("render",):
         render(args.src, args.root, args.det_samples)
     if args.stage in ("dettrain", "all"):
-        dettrain(args.root, args.det_epochs, args.det_batch, args.det_lr)
+        dettrain(args.root, args.det_epochs, args.det_batch, args.det_lr,
+                 resume=args.resume)
     if args.stage == "preprocess-worker":
         _preprocess_split_worker(args.root, args.split, args.preprocess_batch)
     if args.stage in ("preprocess", "all"):

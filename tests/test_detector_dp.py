@@ -53,13 +53,10 @@ def test_detector_train_step_data_parallel():
     assert w.sharding.is_fully_replicated
 
 
-def test_train_detector_loop_data_parallel(tmp_path):
-    """Full driver loop with batches sharded over the virtual 8-device mesh
-    (reference recipe is single-GPU, `object_detection/training.py:30`)."""
+def _tiny_dataset(tmp_path):
     import csv
     from PIL import Image
     from objectpermanence_tpu.data.detection_dataset import DetectionDataset
-    from objectpermanence_tpu.train.detector_loop import train_detector
 
     rng = np.random.RandomState(7)
     images_dir = tmp_path / "imgs"
@@ -76,8 +73,15 @@ def test_train_detector_loop_data_parallel(tmp_path):
         w = csv.writer(f)
         w.writerow(["filename", "object_class", "X", "Y", "width", "height"])
         w.writerows(rows)
-    ds = DetectionDataset(images_dir, csv_path)
+    return DetectionDataset(images_dir, csv_path)
 
+
+def test_train_detector_loop_data_parallel(tmp_path):
+    """Full driver loop with batches sharded over the virtual 8-device mesh
+    (reference recipe is single-GPU, `object_detection/training.py:30`)."""
+    from objectpermanence_tpu.train.detector_loop import train_detector
+
+    ds = _tiny_dataset(tmp_path)
     mesh = make_mesh(n_data=8, n_model=1)
     result = train_detector(
         ds, None, TINY, num_epochs=1, batch_size=5,  # rounds up to 8
@@ -86,6 +90,37 @@ def test_train_detector_loop_data_parallel(tmp_path):
     assert np.isfinite(result["history"][0]["train_loss"])
     w = result["params"]["box_head"]["cls"]["w"]
     assert w.sharding.is_fully_replicated
+
+
+def test_train_detector_epoch_resume(tmp_path):
+    """Epoch-level resume: detector fine-tunes stream fresh host batches
+    every step, which leaks tunnel transfer buffers until the OS kills the
+    process (twostage dettrain died at epoch 13/16) — a killed run must
+    restart from its last finished epoch, not from scratch."""
+    from objectpermanence_tpu.train.detector_loop import train_detector
+
+    ds = _tiny_dataset(tmp_path)
+    ckpt_dir = tmp_path / "ckpt"
+    first = train_detector(ds, None, TINY, num_epochs=1, batch_size=5,
+                           learning_rate=1e-3, warmup_iters=2,
+                           checkpoint_dir=str(ckpt_dir), print_step=100)
+    assert (ckpt_dir / "resume" / "epoch_0001" / "metadata.json").exists()
+
+    # "interrupted after epoch 1 of 2": the resumed call runs ONLY epoch 2
+    second = train_detector(ds, None, TINY, num_epochs=2, batch_size=5,
+                            learning_rate=1e-3, warmup_iters=2,
+                            checkpoint_dir=str(ckpt_dir), print_step=100,
+                            resume=True)
+    assert [h["epoch"] for h in second["history"]] == [2]
+    assert np.isfinite(second["history"][0]["train_loss"])
+    # only the newest resume state is kept (detector states are large)
+    kept = sorted(p.name for p in (ckpt_dir / "resume").iterdir())
+    assert kept == ["epoch_0002"]
+    # resumed params actually moved on from the epoch-1 state
+    p1 = first["params"]["box_head"]["cls"]["w"]
+    p2 = second["params"]["box_head"]["cls"]["w"]
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
 
 import pytest
 
