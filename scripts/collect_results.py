@@ -23,12 +23,15 @@ ARTIFACTS = [
     # perfect-perception flagship (scripts/containment_run.py)
     ("/root/data/sim4k/analysis.csv", "sim4k/perfect_analysis.csv"),
     ("/root/data/sim4k/metrics.jsonl", "sim4k/perfect_train_metrics.jsonl"),
-    # REAL two-stage pipeline (scripts/two_stage_run.py)
-    ("/root/data/twostage/analysis.csv", "twostage/analysis.csv"),
+    # REAL two-stage pipeline (scripts/two_stage_run.py) — the round-4
+    # container's rebuild is the bounded 800-video fair-budget rerun
+    ("/root/data/twostage/analysis.csv", "twostage800/analysis.csv"),
     ("/root/data/twostage/perception_stats.json",
-     "twostage/perception_stats.json"),
-    ("/root/data/twostage/detector/report.json", "twostage/detector_report.json"),
-    ("/root/data/twostage/metrics.jsonl", "twostage/opnet_train_metrics.jsonl"),
+     "twostage800/perception_stats.json"),
+    ("/root/data/twostage/detector/report.json",
+     "twostage800/detector_report.json"),
+    ("/root/data/twostage/metrics.jsonl",
+     "twostage800/opnet_train_metrics.jsonl"),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
     # unbiased-planner eval (scripts/unbiased_eval.py)
@@ -42,6 +45,19 @@ ARTIFACTS = [
     ("/root/data/sim4k/sweep/results.json", "sim4k/sweep_full_results.json"),
     ("/root/data/sim4k/sweep_160ep_800/results.json",
      "sim4k/sweep_160ep_800_results.json"),
+    # round 4: reference-geometry detector run (scripts/detector_800px_run.py)
+    ("/root/data/det800/det800/report.json", "det800/report_800px_windowed.json"),
+    ("/root/data/det800/detnative/report.json", "det800/report_native_control.json"),
+    ("/root/data/det800/steptime.json", "det800/steptime.json"),
+    # round 4: trained opnet_moe + route balance (scripts/moe_balance.py)
+    ("/root/data/sim4k/sweep_160ep_800_bal/results.json",
+     "moe/results_fair_budget_bal.json"),
+    ("/root/data/sim4k/sweep_160ep_800_bal/moe_balance.json",
+     "moe/moe_balance_switch.json"),
+    ("/root/data/sim4k/sweep_160ep_800/moe_balance.json",
+     "moe/moe_balance_no_aux.json"),
+    # round 4: unbiased-planner TRAINING sweep (scripts/unbiased_eval.py train)
+    ("/root/data/unb/sweep/results.json", "unbiased/sweep_trained_results.json"),
 ]
 
 MAX_BYTES = 4 * 1024 * 1024  # refuse to copy anything bulky by accident
