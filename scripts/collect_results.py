@@ -34,9 +34,14 @@ ARTIFACTS = [
      "twostage800/opnet_train_metrics.jsonl"),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
-    # unbiased-planner eval (scripts/unbiased_eval.py)
-    ("/root/data/unbiased/results.json", "unbiased/results.json"),
-    ("/root/data/unbiased/analysis_opnet.csv", "unbiased/analysis_opnet.csv"),
+    # unbiased-planner eval (scripts/unbiased_eval.py). NOTE: the committed
+    # unbiased/results.json + analysis_opnet.csv are the FROZEN round-3 eval
+    # of the (since-reset) full-data checkpoints — later containers rewrite
+    # /root/data/unbiased with evals of different checkpoints, so those two
+    # now mirror to *_latest names instead of clobbering history.
+    ("/root/data/unbiased/results.json", "unbiased/results_latest_eval.json"),
+    ("/root/data/unbiased/analysis_opnet.csv",
+     "unbiased/analysis_opnet_latest.csv"),
     # tracker OPE benchmark (scripts/tracker_benchmark.py)
     ("/root/data/trackbench3/results.json", "trackbench/results.json"),
     # SiamRPN training log (scripts/siam_run.py prints, nohup captures)
