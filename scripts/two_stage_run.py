@@ -13,8 +13,9 @@ perfect-perception flagship run (`scripts/containment_run.py`, sim4k:
                 on rendered frames; eval mAP on dev/test frames
     preprocess  run the trained detector over every video -> od_real/*.pkl
                 (the reference's score>=0.8 perception pickles)
-    opnet       ingest REAL detections, train OPNet with the reference
-                recipe (Adam 1e-3, bs 16, 160 epochs, plateau 0.8/2)
+    opnet       ingest REAL detections, train a reasoning model with the
+                reference recipe (Adam 1e-3, bs 16, 160 epochs, plateau
+                0.8/2); --model picks the architecture (default opnet)
     analyze     held-out test inference + the reference's analysis CSV
                 (stratification files = scene GT, as in the reference)
 
@@ -40,8 +41,6 @@ SPLITS = ("train", "dev", "test")
 
 # the shipped reference-format config is the single source of truth
 from objectpermanence_tpu.config import load_model_config
-
-MODEL_CONFIG = load_model_config("opnet")
 
 
 def detector_config():
@@ -201,39 +200,43 @@ def ingest_split(root: Path, src: Path, split: str, feature_width: int):
         str(root / "cache"))
 
 
-def opnet(root: Path, src: Path, epochs: int, resume: bool) -> None:
+def opnet(root: Path, src: Path, epochs: int, resume: bool,
+          model: str = "opnet") -> None:
     from objectpermanence_tpu.models.registry import get_model_spec
     from objectpermanence_tpu.train.loop import training_main
 
-    spec = get_model_spec("opnet")
+    spec = get_model_spec(model)
     datasets = {}
     for split in ("train", "dev"):
         datasets[split] = ingest_split(root, src, split, spec.feature_width)
-        print(f"[opnet] ingested {split}: {len(datasets[split])} videos",
+        print(f"[{model}] ingested {split}: {len(datasets[split])} videos",
               flush=True)
     train_config = {
         "batch_size": 16, "inference_batch_size": 400,
         "num_epochs": epochs, "print_step": 100, "learning_rate": 1e-3,
         "lr_scheduler_patience": 2, "lr_scheduler_factor": 0.8,
         "checkpoints_path": str(root / "checkpoints"),
-        "metrics_file": str(root / "metrics.jsonl"),
+        "metrics_file": str(root / ("metrics.jsonl" if model == "opnet"
+                                    else f"metrics_{model}.jsonl")),
         "train_sample_dir": "x", "train_labels_dir": "x",
         "train_containment_file": "x", "dev_sample_dir": "x",
         "dev_labels_dir": "x", "dev_containment_file": "x",
     }
     result = training_main(spec, datasets["train"], datasets["dev"],
-                           train_config, MODEL_CONFIG, resume=resume)
-    print(f"[opnet] best dev mIoU: {result.best_dev_iou:.4f}", flush=True)
+                           train_config, load_model_config(model),
+                           resume=resume)
+    print(f"[{model}] best dev mIoU: {result.best_dev_iou:.4f}", flush=True)
 
 
-def analyze(root: Path, src: Path) -> None:
+def analyze(root: Path, src: Path, model: str = "opnet") -> None:
     from objectpermanence_tpu.analysis.offline import analyze_results
     from objectpermanence_tpu.infer.reasoning import reasoning_inference_main
     from objectpermanence_tpu.utils.checkpoint import best_params_checkpoint
 
     test_src = src / "test"
-    results_dir = root / "results"
-    best = best_params_checkpoint(root / "checkpoints" / "opnet")
+    suffix = "" if model == "opnet" else f"_{model}"
+    results_dir = root / ("results" + suffix)
+    best = best_params_checkpoint(root / "checkpoints" / model)
     print(f"[analyze] using checkpoint {best}", flush=True)
     inference_config = {
         "batch_size": 200,
@@ -242,20 +245,20 @@ def analyze(root: Path, src: Path) -> None:
         "model_path": str(best),
         "cache_dir": str(root / "cache"),
     }
-    reasoning_inference_main("opnet", str(results_dir), inference_config,
-                             MODEL_CONFIG)
+    reasoning_inference_main(model, str(results_dir), inference_config,
+                             load_model_config(model))
     ann = test_src / "annotations"
     # stratification (containment spans, GT snitch visibility) is scene
     # ground truth — shared with the perfect-perception run by design
     analyze_results(
         str(results_dir), str(test_src / "labels"),
-        str(root / "analysis.csv"),
+        str(root / f"analysis{suffix}.csv"),
         str(ann / "containment_annotations.txt"),
         str(ann / "containment_only_static_annotations.txt"),
         str(ann / "containment_with_move_annotations.txt"),
         str(test_src / "od_perception" / "visibility_rate_gt_0.99.txt"),
         None, None, [0.5, 0.9])
-    print((root / "analysis.csv").read_text(), flush=True)
+    print((root / f"analysis{suffix}.csv").read_text(), flush=True)
 
 
 def main() -> None:
@@ -277,6 +280,9 @@ def main() -> None:
                          "(0 = all); dev/test are smaller than typical caps "
                          "so this effectively bounds the train split")
     ap.add_argument("--epochs", type=int, default=160)
+    ap.add_argument("--model", default="opnet",
+                    help="(opnet/analyze) reasoning architecture to train on "
+                         "the real detections")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -291,9 +297,9 @@ def main() -> None:
     if args.stage in ("preprocess", "all"):
         preprocess(args.root, args.preprocess_batch, limit=args.limit)
     if args.stage in ("opnet", "all"):
-        opnet(args.root, args.src, args.epochs, args.resume)
+        opnet(args.root, args.src, args.epochs, args.resume, args.model)
     if args.stage in ("analyze", "all"):
-        analyze(args.root, args.src)
+        analyze(args.root, args.src, args.model)
 
 
 if __name__ == "__main__":
