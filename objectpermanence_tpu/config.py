@@ -42,7 +42,15 @@ def load_config(cls, path, name: Optional[str] = None):
 def load_model_config(model_name: str) -> dict:
     """The shipped `configs/<model>_model_config.json` (same files and keys
     as the reference repo's configs/) — the single source of truth for model
-    hyperparameters used by scripts and the headline bench."""
+    hyperparameters used by scripts and the headline bench.
+
+    Registry variants without their own file resolve to their base
+    architecture's config: `*_no_labels` (same net, masked supervision)
+    and `opnet_moe` (opnet hyperparameters + default expert dims)."""
+    if model_name.endswith("_no_labels"):
+        model_name = model_name[: -len("_no_labels")]
+    elif model_name == "opnet_moe":
+        model_name = "opnet"
     path = (Path(__file__).resolve().parent.parent / "configs" /
             f"{model_name}_model_config.json")
     with open(path) as f:

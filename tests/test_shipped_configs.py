@@ -55,3 +55,13 @@ def test_model_configs_init(model, fname):
     spec = get_model_spec(model)
     params = spec.init(jax.random.PRNGKey(0), _load(fname))
     assert jax.tree_util.tree_leaves(params)
+
+
+def test_load_model_config_variant_aliases():
+    # registry variants without their own configs/ file resolve to the base
+    # architecture's hyperparameters (two_stage_run --model relies on this)
+    from objectpermanence_tpu.config import load_model_config
+
+    assert load_model_config("opnet_moe") == load_model_config("opnet")
+    assert (load_model_config("baseline_lstm_no_labels")
+            == load_model_config("baseline_lstm"))
