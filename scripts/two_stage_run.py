@@ -237,6 +237,10 @@ def analyze(root: Path, src: Path, model: str = "opnet") -> None:
     suffix = "" if model == "opnet" else f"_{model}"
     results_dir = root / ("results" + suffix)
     best = best_params_checkpoint(root / "checkpoints" / model)
+    if best is None:
+        raise FileNotFoundError(
+            f"no trained {model} checkpoint under {root / 'checkpoints'} — "
+            f"run the train stage first")
     print(f"[analyze] using checkpoint {best}", flush=True)
     inference_config = {
         "batch_size": 200,
