@@ -8,6 +8,9 @@ expert).
 
     python scripts/moe_balance.py --root /root/data/sim4k \
         --sweep-dir sweep_160ep_800
+    python scripts/moe_balance.py --root /root/data/twostage \
+        --ckpt-dir /root/data/twostage/checkpoints/opnet_moe \
+        --src /root/data/sim4k --perception od_real
 """
 
 import argparse
@@ -24,6 +27,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", type=Path, default=Path("/root/data/sim4k"))
     ap.add_argument("--sweep-dir", default="sweep_160ep_800")
+    ap.add_argument("--ckpt-dir", type=Path, default=None,
+                    help="explicit checkpoint tree (default: sweep layout)")
+    ap.add_argument("--src", type=Path, default=None,
+                    help="where test labels/annotations live (default: --root)")
+    ap.add_argument("--perception", default="od_perception",
+                    help="test perception dir name (od_real for two-stage)")
     ap.add_argument("--batch", type=int, default=300)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -44,16 +53,17 @@ def main() -> None:
 
     spec = get_model_spec("opnet_moe")
     config = load_model_config("opnet")
-    ckpt_dir = args.root / args.sweep_dir / "opnet_moe" / "opnet_moe"
+    ckpt_dir = args.ckpt_dir or args.root / args.sweep_dir / "opnet_moe" / "opnet_moe"
     best = best_params_checkpoint(ckpt_dir)
     if best is None:
         sys.exit(f"no trained opnet_moe checkpoint under {ckpt_dir}")
     params = restore_params(best, spec.init(jax.random.PRNGKey(0), config))
 
-    test = args.root / "test"
-    ds = ingest_directory(test / "od_perception", test / "labels",
+    src = args.src or args.root
+    ds = ingest_directory(args.root / "test" / args.perception,
+                          src / "test" / "labels",
                           spec.feature_width,
-                          test / "annotations" / "containment_annotations.txt",
+                          src / "test" / "annotations" / "containment_annotations.txt",
                           str(args.root / "cache"))
 
     @jax.jit
@@ -81,7 +91,8 @@ def main() -> None:
         "max_expert_fraction": round(float(frac.max()), 4),
         "mean_gate_prob": round(gate_sum / gate_n, 4),
     }
-    out = args.root / args.sweep_dir / "moe_balance.json"
+    out = (args.ckpt_dir.parent if args.ckpt_dir
+           else args.root / args.sweep_dir) / "moe_balance.json"
     out.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
 
