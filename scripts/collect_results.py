@@ -23,15 +23,31 @@ ARTIFACTS = [
     # perfect-perception flagship (scripts/containment_run.py)
     ("/root/data/sim4k/analysis.csv", "sim4k/perfect_analysis.csv"),
     ("/root/data/sim4k/metrics.jsonl", "sim4k/perfect_train_metrics.jsonl"),
-    # REAL two-stage pipeline (scripts/two_stage_run.py) — the round-4
-    # container's rebuild is the bounded 800-video fair-budget rerun
-    ("/root/data/twostage/analysis.csv", "twostage800/analysis.csv"),
-    ("/root/data/twostage/perception_stats.json",
-     "twostage800/perception_stats.json"),
+    # REAL two-stage pipeline (scripts/two_stage_run.py). The round-4
+    # container's bounded 800-video fair-budget rerun was archived to
+    # run800/ before the 1,600-video stair-step reused the live paths —
+    # the frozen twostage800 evidence now mirrors from the archive.
+    ("/root/data/twostage/run800/analysis.csv", "twostage800/analysis.csv"),
+    ("/root/data/twostage/run800/metrics.jsonl",
+     "twostage800/opnet_train_metrics.jsonl"),
+    ("/root/data/twostage/run800/results_models.json",
+     "twostage800/results_models.json"),
     ("/root/data/twostage/detector/report.json",
      "twostage800/detector_report.json"),
+    # round 4: the 1,600-video stair-step on the same detector/scenes
+    ("/root/data/twostage/analysis.csv", "twostage1600/analysis.csv"),
+    ("/root/data/twostage/analysis_transformer_lstm.csv",
+     "twostage1600/analysis_transformer_lstm.csv"),
+    ("/root/data/twostage/analysis_opnet_moe.csv",
+     "twostage1600/analysis_opnet_moe.csv"),
+    ("/root/data/twostage/analysis_baseline_lstm.csv",
+     "twostage1600/analysis_baseline_lstm.csv"),
     ("/root/data/twostage/metrics.jsonl",
-     "twostage800/opnet_train_metrics.jsonl"),
+     "twostage1600/opnet_train_metrics.jsonl"),
+    ("/root/data/twostage/perception_stats.json",
+     "twostage1600/perception_stats.json"),
+    ("/root/data/twostage/cater/grid_results.json",
+     "twostage1600/grid_results.json"),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
     # unbiased-planner eval (scripts/unbiased_eval.py). NOTE: the committed
