@@ -48,6 +48,8 @@ ARTIFACTS = [
      "twostage1600/perception_stats.json"),
     ("/root/data/twostage/cater/grid_results.json",
      "twostage1600/grid_results.json"),
+    ("/root/data/twostage/checkpoints/moe_balance.json",
+     "twostage1600/moe_balance_two_stage.json"),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
     # unbiased-planner eval (scripts/unbiased_eval.py). NOTE: the committed
@@ -85,6 +87,12 @@ MAX_BYTES = 4 * 1024 * 1024  # refuse to copy anything bulky by accident
 
 
 def main() -> int:
+    dests = [dst for _, dst in ARTIFACTS]
+    dupes = {d for d in dests if dests.count(d) > 1}
+    if dupes:
+        print(f"FATAL: duplicate destinations would clobber: {sorted(dupes)}",
+              file=sys.stderr)
+        return 1
     copied, skipped = [], []
     for src, dst in ARTIFACTS:
         src_p = Path(src)
