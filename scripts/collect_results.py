@@ -50,6 +50,8 @@ ARTIFACTS = [
      "twostage1600/grid_results.json"),
     ("/root/data/twostage/checkpoints/moe_balance.json",
      "twostage1600/moe_balance_two_stage.json"),
+    ("/root/data/twostage/results_models.json",
+     "twostage1600/results_models.json"),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
     # unbiased-planner eval (scripts/unbiased_eval.py). NOTE: the committed
