@@ -78,3 +78,22 @@ def test_no_labels_training_mask_is_visible_frames(tmp_path):
         d / "od_perception" / "visibility_rate_gt_0.99.txt"
     assert training_mask_file(get_model_spec("opnet"), d) == \
         d / "annotations" / "containment_annotations.txt"
+
+
+def test_twostage_summary_reduction(tmp_path):
+    """twostage_summary reduces per-video analysis CSVs with NaN-skipping
+    column means (blank = mask never fired, like the reference analyzer)."""
+    import twostage_summary
+
+    csv_text = (
+        "videos_names,overall_iou,contained_mean_iou,full_occlusion_mean_iou,"
+        "visibility_gt_0_mean_iou,overall_map_0.5\n"
+        "v0,0.8,0.4,,0.9,0.7\n"
+        "v1,0.6,,0.5,0.7,0.5\n")
+    (tmp_path / "analysis.csv").write_text(csv_text)
+    row = twostage_summary.summarize_csv(tmp_path / "analysis.csv")
+    assert row["videos"] == 2
+    assert row["overall_iou"] == 0.7
+    assert row["contained_iou"] == 0.4      # one blank skipped
+    assert row["full_occlusion_iou"] == 0.5
+    assert row["map_0.5"] == 0.6
