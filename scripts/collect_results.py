@@ -7,18 +7,93 @@ numbers quoted in STATUS.md. This script copies the SMALL evidence files
 can be committed and survive resets. Bulk artifacts (videos, ingest caches,
 orbax checkpoints) are deliberately excluded.
 
-Usage: python scripts/collect_results.py   (idempotent; copies what exists)
+Provenance: live paths under /root/data are REUSED across runs at different
+budgets (the 1,600-video stair-step reran over the 800-video run's paths),
+so a naive mirror can freeze one run's leftovers under another run's name —
+exactly what happened to results/twostage1600/ in round 4. Mirrors whose
+destination names a run therefore carry a CHECK that inspects the source
+content (video counts in the artifact itself, or the train_meta*.json stamp
+written by scripts/two_stage_run.py) and refuses the copy on contradiction.
+
+Usage: python scripts/collect_results.py   (idempotent; copies what exists;
+exits nonzero if any existing source FAILS its provenance check)
 """
 
 import json
-import shutil
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 OUT = REPO / "results"
 
-# (source, destination-under-results/) — compact evidence files only
+
+class ProvenanceError(Exception):
+    pass
+
+
+def _read(path: Path) -> bytes:
+    return path.read_bytes()
+
+
+def perception_stats(expect_train: int):
+    """Artifact self-describes: {"train": {"videos": N}} must match."""
+    def check(src: Path) -> bytes:
+        data = _read(src)
+        got = json.loads(data)["train"]["videos"]
+        if got != expect_train:
+            raise ProvenanceError(
+                f"train.videos={got}, destination claims {expect_train}")
+        return data
+    return check
+
+
+def grid_rows(suffix: str):
+    """grid_results.json accumulates rows across runs (keyed by --tag);
+    mirror ONLY the rows belonging to this run's tag."""
+    def check(src: Path) -> bytes:
+        rows = [r for r in json.loads(_read(src))
+                if r["model"].endswith(suffix)]
+        if not rows:
+            raise ProvenanceError(f"no rows tagged {suffix!r}")
+        return json.dumps(rows, indent=2).encode()
+    return check
+
+
+def models_table(expect_train: int):
+    """results_models.json rows carry the train_videos stamp merged in by
+    scripts/twostage_summary.py; every row must match."""
+    def check(src: Path) -> bytes:
+        data = _read(src)
+        for row in json.loads(data):
+            if row.get("train_videos") != expect_train:
+                raise ProvenanceError(
+                    f"row {row.get('model')}: train_videos="
+                    f"{row.get('train_videos')}, destination claims "
+                    f"{expect_train}")
+        return data
+    return check
+
+
+def stamped(meta_src: str, expect_train: int):
+    """The artifact itself has no count (per-video CSVs, metrics tails);
+    trust the run stamp (train_meta*.json) that the SAME stage wrote."""
+    def check(src: Path) -> bytes:
+        meta_p = Path(meta_src)
+        if not meta_p.exists():
+            raise ProvenanceError(f"no run stamp at {meta_src}")
+        meta = json.loads(meta_p.read_text())
+        if meta.get("train_videos") != expect_train:
+            raise ProvenanceError(
+                f"stamp says train_videos={meta.get('train_videos')}, "
+                f"destination claims {expect_train}")
+        return _read(src)
+    return check
+
+
+TM = "/root/data/twostage/train_meta{}.json"
+
+# (source, destination-under-results/[, provenance-check]) — compact
+# evidence files only
 ARTIFACTS = [
     # perfect-perception flagship (scripts/containment_run.py)
     ("/root/data/sim4k/analysis.csv", "sim4k/perfect_analysis.csv"),
@@ -26,7 +101,8 @@ ARTIFACTS = [
     # REAL two-stage pipeline (scripts/two_stage_run.py). The round-4
     # container's bounded 800-video fair-budget rerun was archived to
     # run800/ before the 1,600-video stair-step reused the live paths —
-    # the frozen twostage800 evidence now mirrors from the archive.
+    # the frozen twostage800 evidence mirrors from the archive (predates
+    # the train_meta stamp; provenance fixed by the archive itself).
     ("/root/data/twostage/run800/analysis.csv", "twostage800/analysis.csv"),
     ("/root/data/twostage/run800/metrics.jsonl",
      "twostage800/opnet_train_metrics.jsonl"),
@@ -34,24 +110,30 @@ ARTIFACTS = [
      "twostage800/results_models.json"),
     ("/root/data/twostage/detector/report.json",
      "twostage800/detector_report.json"),
-    # round 4: the 1,600-video stair-step on the same detector/scenes
-    ("/root/data/twostage/analysis.csv", "twostage1600/analysis.csv"),
+    # round 4/5: the 1,600-video stair-step on the same detector/scenes
+    ("/root/data/twostage/analysis.csv", "twostage1600/analysis.csv",
+     stamped(TM.format(""), 1600)),
     ("/root/data/twostage/analysis_transformer_lstm.csv",
-     "twostage1600/analysis_transformer_lstm.csv"),
+     "twostage1600/analysis_transformer_lstm.csv",
+     stamped(TM.format("_transformer_lstm"), 1600)),
     ("/root/data/twostage/analysis_opnet_moe.csv",
-     "twostage1600/analysis_opnet_moe.csv"),
+     "twostage1600/analysis_opnet_moe.csv",
+     stamped(TM.format("_opnet_moe"), 1600)),
     ("/root/data/twostage/analysis_baseline_lstm.csv",
-     "twostage1600/analysis_baseline_lstm.csv"),
+     "twostage1600/analysis_baseline_lstm.csv",
+     stamped(TM.format("_baseline_lstm"), 1600)),
     ("/root/data/twostage/metrics.jsonl",
-     "twostage1600/opnet_train_metrics.jsonl"),
+     "twostage1600/opnet_train_metrics.jsonl", stamped(TM.format(""), 1600)),
     ("/root/data/twostage/perception_stats.json",
-     "twostage1600/perception_stats.json"),
+     "twostage1600/perception_stats.json", perception_stats(1600)),
     ("/root/data/twostage/cater/grid_results.json",
-     "twostage1600/grid_results.json"),
+     "twostage1600/grid_results.json", grid_rows("_two_stage_1600")),
     ("/root/data/twostage/checkpoints/moe_balance.json",
-     "twostage1600/moe_balance_two_stage.json"),
+     "twostage1600/moe_balance_two_stage.json",
+     stamped(TM.format("_opnet_moe"), 1600)),
     ("/root/data/twostage/results_models.json",
-     "twostage1600/results_models.json"),
+     "twostage1600/results_models.json", models_table(1600)),
+    ("/root/data/twostage/train_meta.json", "twostage1600/train_meta.json"),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
     # unbiased-planner eval (scripts/unbiased_eval.py). NOTE: the committed
@@ -81,22 +163,28 @@ ARTIFACTS = [
      "moe/moe_balance_switch.json"),
     ("/root/data/sim4k/sweep_160ep_800/moe_balance.json",
      "moe/moe_balance_no_aux.json"),
-    # round 4: unbiased-planner TRAINING sweep (scripts/unbiased_eval.py train)
+    # round 4: unbiased-planner TRAINING sweep at 1,600 videos
     ("/root/data/unb/sweep/results.json", "unbiased/sweep_trained_results.json"),
+    # round 5: unbiased-planner FULL-BUDGET sweep (3,200 videos) — the
+    # paper-parity question (VERDICT r4 #2)
+    ("/root/data/unb/sweep3200/results.json",
+     "unbiased/sweep3200_results.json"),
 ]
 
 MAX_BYTES = 4 * 1024 * 1024  # refuse to copy anything bulky by accident
 
 
 def main() -> int:
-    dests = [dst for _, dst in ARTIFACTS]
+    dests = [a[1] for a in ARTIFACTS]
     dupes = {d for d in dests if dests.count(d) > 1}
     if dupes:
         print(f"FATAL: duplicate destinations would clobber: {sorted(dupes)}",
               file=sys.stderr)
         return 1
-    copied, skipped = [], []
-    for src, dst in ARTIFACTS:
+    copied, skipped, failed = [], [], []
+    for entry in ARTIFACTS:
+        src, dst = entry[0], entry[1]
+        check = entry[2] if len(entry) > 2 else _read
         src_p = Path(src)
         if not src_p.exists():
             skipped.append(src)
@@ -104,12 +192,19 @@ def main() -> int:
         if src_p.stat().st_size > MAX_BYTES:
             print(f"SKIP (too large): {src}", file=sys.stderr)
             continue
+        try:
+            content = check(src_p)
+        except ProvenanceError as e:
+            print(f"PROVENANCE REFUSED: {src} -> {dst}: {e}", file=sys.stderr)
+            failed.append(dst)
+            continue
         dst_p = OUT / dst
         dst_p.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(src_p, dst_p)
+        dst_p.write_bytes(content)
         copied.append(dst)
-    print(json.dumps({"copied": copied, "missing": skipped}, indent=2))
-    return 0
+    print(json.dumps({"copied": copied, "missing": skipped,
+                      "provenance_refused": failed}, indent=2))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

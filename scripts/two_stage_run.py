@@ -226,6 +226,18 @@ def opnet(root: Path, src: Path, epochs: int, resume: bool,
                            train_config, load_model_config(model),
                            resume=resume)
     print(f"[{model}] best dev mIoU: {result.best_dev_iou:.4f}", flush=True)
+    # provenance stamp: records WHICH run produced the live metrics/
+    # checkpoints so downstream mirrors (scripts/collect_results.py) can
+    # refuse artifacts whose video count contradicts the destination name
+    suffix = "" if model == "opnet" else f"_{model}"
+    (root / f"train_meta{suffix}.json").write_text(json.dumps({
+        "model": model,
+        "train_videos": len(datasets["train"]),
+        "dev_videos": len(datasets["dev"]),
+        "epochs": epochs,
+        "best_dev_iou": round(float(result.best_dev_iou), 4),
+        "completed_unix": time.time(),
+    }, indent=2))
 
 
 def analyze(root: Path, src: Path, model: str = "opnet") -> None:

@@ -55,7 +55,16 @@ def main() -> None:
         if not path.exists():
             print(f"[summary] {model}: no {path.name}, skipping", flush=True)
             continue
-        table.append({"model": model, **summarize_csv(path)})
+        row = {"model": model, **summarize_csv(path)}
+        # provenance: merge the training stamp (two_stage_run.py opnet stage)
+        # so the table self-describes which run budget produced each row
+        meta_path = args.root / f"train_meta{suffix}.json"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            row["train_videos"] = meta.get("train_videos")
+            row["epochs"] = meta.get("epochs")
+            row["best_dev_iou"] = meta.get("best_dev_iou")
+        table.append(row)
 
     out = args.out or (args.root / "results_models.json")
     out.write_text(json.dumps(table, indent=2))

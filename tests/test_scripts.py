@@ -97,3 +97,67 @@ def test_twostage_summary_reduction(tmp_path):
     assert row["contained_iou"] == 0.4      # one blank skipped
     assert row["full_occlusion_iou"] == 0.5
     assert row["map_0.5"] == 0.6
+
+
+def test_collect_results_provenance_checks(tmp_path):
+    """The round-4 regression: 800-run artifacts frozen under the 1,600-run
+    destination. Every checker must refuse a contradicting source."""
+    import collect_results as cr
+
+    # perception_stats: self-describing video count
+    p = tmp_path / "perception_stats.json"
+    p.write_text(json.dumps({"train": {"videos": 800}}))
+    with pytest.raises(cr.ProvenanceError):
+        cr.perception_stats(1600)(p)
+    p.write_text(json.dumps({"train": {"videos": 1600}}))
+    assert b"1600" in cr.perception_stats(1600)(p)
+
+    # grid rows: accumulating table is filtered to the run's tag
+    g = tmp_path / "grid_results.json"
+    g.write_text(json.dumps([
+        {"model": "opnet_two_stage800", "grid_top1_acc": 0.52},
+        {"model": "opnet_two_stage_1600", "grid_top1_acc": 0.53}]))
+    rows = json.loads(cr.grid_rows("_two_stage_1600")(g))
+    assert [r["model"] for r in rows] == ["opnet_two_stage_1600"]
+    with pytest.raises(cr.ProvenanceError):
+        cr.grid_rows("_two_stage_3200")(g)
+
+    # models table: every row must carry the matching train_videos stamp
+    m = tmp_path / "results_models.json"
+    m.write_text(json.dumps([{"model": "opnet", "train_videos": 1600}]))
+    assert cr.models_table(1600)(m)
+    m.write_text(json.dumps([{"model": "opnet"}]))  # unstamped = refused
+    with pytest.raises(cr.ProvenanceError):
+        cr.models_table(1600)(m)
+
+    # stamped: CSVs/metrics have no count; the sibling train_meta decides
+    a = tmp_path / "analysis.csv"
+    a.write_text("videos_names,overall_iou\nv0,0.5\n")
+    meta = tmp_path / "train_meta.json"
+    with pytest.raises(cr.ProvenanceError):     # stamp absent
+        cr.stamped(str(meta), 1600)(a)
+    meta.write_text(json.dumps({"train_videos": 800}))
+    with pytest.raises(cr.ProvenanceError):     # stamp contradicts
+        cr.stamped(str(meta), 1600)(a)
+    meta.write_text(json.dumps({"train_videos": 1600}))
+    assert cr.stamped(str(meta), 1600)(a) == a.read_bytes()
+
+
+def test_twostage_summary_merges_train_meta(tmp_path):
+    """Rows self-describe their run budget via the train_meta stamp."""
+    import subprocess
+
+    csv_text = (
+        "videos_names,overall_iou,contained_mean_iou,full_occlusion_mean_iou,"
+        "visibility_gt_0_mean_iou,overall_map_0.5\n"
+        "v0,0.8,0.4,0.6,0.9,0.7\n")
+    (tmp_path / "analysis.csv").write_text(csv_text)
+    (tmp_path / "train_meta.json").write_text(json.dumps(
+        {"model": "opnet", "train_videos": 1600, "epochs": 160,
+         "best_dev_iou": 0.66}))
+    script = Path(__file__).resolve().parent.parent / "scripts" / \
+        "twostage_summary.py"
+    subprocess.run([sys.executable, str(script), "--root", str(tmp_path),
+                    "--models", "opnet"], check=True, capture_output=True)
+    rows = json.loads((tmp_path / "results_models.json").read_text())
+    assert rows[0]["train_videos"] == 1600 and rows[0]["epochs"] == 160
