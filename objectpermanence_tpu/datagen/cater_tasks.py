@@ -194,12 +194,19 @@ def write_task_labels(scenes_dir, output_dir, *, seed: int = 0,
             p = dset_dir / f"{split}.txt"
             p.write_text("".join(lines))
             paths[f"{dset_name}/{split}"] = p
-        # the reference persists the class table (metadata.pkl); json here
-        meta = {"num_classes": (len(order_classes)
-                                if dset_name == "actions_order_uniq"
-                                else len(ACTION_CLASSES)
-                                if dset_name == "actions_present"
-                                else {"localize": 36, "localize_4x4": 16,
-                                      "localize_8x8": 64}[dset_name])}
+        # the reference persists the full class table (metadata.pkl with the
+        # classes list); serialize it too so label ids are recoverable from
+        # the emitted artifacts alone (ADVICE r4: actions_order_uniq ids
+        # otherwise depend on re-running action_order_classes with the same n)
+        if dset_name == "actions_order_uniq":
+            meta = {"num_classes": len(order_classes),
+                    "action_order_n": action_order_n,
+                    "classes": order_classes}
+        elif dset_name == "actions_present":
+            meta = {"num_classes": len(ACTION_CLASSES),
+                    "classes": list(ACTION_CLASSES)}
+        else:
+            meta = {"num_classes": {"localize": 36, "localize_4x4": 16,
+                                    "localize_8x8": 64}[dset_name]}
         (dset_dir / "metadata.json").write_text(json.dumps(meta))
     return paths

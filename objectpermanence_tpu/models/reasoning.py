@@ -122,11 +122,13 @@ def opnet_moe_init(key, config: Dict[str, int], dtype=jnp.float32) -> Params:
 
 
 def opnet_moe_apply(params: Params, boxes: jax.Array, *, precision=None,
-                    return_aux: bool = False, **_) -> tuple:
+                    return_aux: bool = False, aux_token_weight=None,
+                    **_) -> tuple:
     """With `return_aux=True` additionally returns the Switch
     load-balance auxiliary (`parallel/expert.py:moe_balance_loss`) computed
     on the same hidden features, for the training loss — top-1 routing
-    collapses onto one expert without it."""
+    collapses onto one expert without it. `aux_token_weight` (B,) zeroes
+    padded samples out of the balance statistics (ragged final batch)."""
     from objectpermanence_tpu.parallel.expert import (
         moe_balance_loss, moe_head_apply,
     )
@@ -137,7 +139,8 @@ def opnet_moe_apply(params: Params, boxes: jax.Array, *, precision=None,
         y_boxes, probs = moe_head_apply(params["box_head"], hidden,
                                         precision=precision,
                                         return_probs=True)
-        return y_boxes, jnp.swapaxes(logits, 1, 2), moe_balance_loss(probs)
+        aux = moe_balance_loss(probs, token_weight=aux_token_weight)
+        return y_boxes, jnp.swapaxes(logits, 1, 2), aux
     y_boxes = moe_head_apply(params["box_head"], hidden, precision=precision)
     return y_boxes, jnp.swapaxes(logits, 1, 2)
 

@@ -86,7 +86,7 @@ def moe_head_apply(params: Params, h, *, precision=None,
     return (out, probs) if return_probs else out
 
 
-def moe_balance_loss(probs):
+def moe_balance_loss(probs, token_weight=None):
     """Switch-Transformers load-balance auxiliary (Fedus et al. 2021,
     eq. 4-6) from router probs (..., E): `E * sum_e f_e * P_e`, where `f_e`
     is the fraction of tokens whose top-1 expert is `e` and `P_e` the mean
@@ -94,13 +94,26 @@ def moe_balance_loss(probs):
     and grows as routing collapses; gradients reach the router through
     `P_e` (the `f_e` argmax is non-differentiable, as in the paper).
     Without this term the top-1 router collapses in practice — the first
-    trained opnet_moe sweep put 98.8% of tokens on one expert."""
+    trained opnet_moe sweep put 98.8% of tokens on one expert.
+
+    `token_weight` (broadcastable to probs' token dims) turns f_e/P_e into
+    weighted means — used by the train step to zero the repeated-row
+    padding of a ragged final batch, which would otherwise push duplicate
+    samples' gradient into the router through this term."""
     num_experts = probs.shape[-1]
     token_axes = tuple(range(probs.ndim - 1))
     top1 = jnp.argmax(probs, axis=-1)
-    f = jnp.mean(jax.nn.one_hot(top1, num_experts, dtype=probs.dtype),
-                 axis=token_axes)
-    p = jnp.mean(probs, axis=token_axes)
+    onehot = jax.nn.one_hot(top1, num_experts, dtype=probs.dtype)
+    if token_weight is None:
+        f = jnp.mean(onehot, axis=token_axes)
+        p = jnp.mean(probs, axis=token_axes)
+    else:
+        w = jnp.asarray(token_weight, probs.dtype)
+        w = w.reshape(w.shape + (1,) * (probs.ndim - w.ndim))
+        w = jnp.broadcast_to(w, probs.shape)
+        denom = jnp.maximum(jnp.sum(w, axis=token_axes), 1e-6)
+        f = jnp.sum(onehot * w, axis=token_axes) / denom
+        p = jnp.sum(probs * w, axis=token_axes) / denom
     return num_experts * jnp.sum(f * p)
 
 

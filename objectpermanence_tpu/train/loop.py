@@ -42,13 +42,15 @@ from objectpermanence_tpu.utils import checkpoint as ckpt
 
 
 def _forward(spec: ModelSpec, params, boxes, deterministic, rng,
-             with_aux: bool = False):
+             with_aux: bool = False, sample_weight=None):
     """-> model output, or (output, aux loss scalar) when `with_aux` and the
     spec carries an auxiliary training loss (opnet_moe's Switch balance
-    term)."""
+    term). `sample_weight` (B,) keeps ragged-batch padding rows out of the
+    balance statistics."""
     if with_aux and spec.aux_loss_weight:
         out, _, aux = spec.apply(params, boxes, deterministic=deterministic,
-                                 rng=rng, return_aux=True)
+                                 rng=rng, return_aux=True,
+                                 aux_token_weight=sample_weight)
         return out, aux
     if spec.double_output:
         out, _ = spec.apply(params, boxes, deterministic=deterministic, rng=rng)
@@ -74,7 +76,8 @@ def make_train_step(spec: ModelSpec, optimizer):
             from objectpermanence_tpu.ops import lstm as lstm_ops
             # deterministic=False: dropout active in training (transformer)
             with lstm_ops.fused_scan(on_tpu):
-                out, aux = _forward(spec, p, boxes, False, rng, with_aux=True)
+                out, aux = _forward(spec, p, boxes, False, rng,
+                                    with_aux=True, sample_weight=weights)
             # weights: (B,) 0/1 vector zeroing the repeated-row padding of
             # the ragged final batch so duplicates carry no gradient
             loss, metrics = total_loss(out, labels, mask, spec.no_labels,

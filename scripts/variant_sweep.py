@@ -108,13 +108,15 @@ def main() -> None:
         best_existing = best_params_checkpoint(ckpt_dir / model)
         if args.eval_only and best_existing is not None:
             print(f"[sweep] eval-only: reusing {best_existing}", flush=True)
-            # prefer the full-precision value from a prior results row (the
-            # checkpoint dir name — {dd-mm-yy}_{dev_iou}, train/loop.py —
-            # rounds the dev IoU to 3 decimals)
+            # both sources are rounded: a prior results row keeps 4 decimals,
+            # the checkpoint dir name ({dd-mm-yy}_{dev_iou}, train/loop.py)
+            # only 3 — prefer the row when one exists
             prior = next((r for r in rows if r["model"] == model), None)
             best_dev = (prior["best_dev_miou"] if prior
                         else float(best_existing.name.split("_")[-1]))
-            train_s = prior.get("train_seconds") if prior else None
+            # explicit sentinel (not None) so the row schema stays stable
+            # when no prior row recorded a duration
+            train_s = (prior.get("train_seconds", -1) if prior else -1)
         else:
             datasets = {}
             for split in ("train", "dev"):

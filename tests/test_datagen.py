@@ -163,6 +163,16 @@ def test_write_task_labels(tmp_path):
         (tmp_path / "lists" / "actions_order_uniq" / "metadata.json")
         .read_text())
     assert meta["num_classes"] == len(classes)
+    # label ids are self-describing: the serialized class table round-trips
+    # to the exact tuples action_order_classes produces (ADVICE r4)
+    assert meta["action_order_n"] == 2
+    restored = [tuple((tuple(tuple(a) for a in acts), tuple(orders)))
+                for acts, orders in meta["classes"]]
+    assert restored == classes
+    present_meta = json.loads(
+        (tmp_path / "lists" / "actions_present" / "metadata.json").read_text())
+    assert [tuple(c) for c in present_meta["classes"]] == \
+        list(cater_tasks.ACTION_CLASSES)
 
 
 def test_action_order_n_generalizes(tmp_path):

@@ -201,3 +201,22 @@ def test_moe_train_step_applies_balance_loss():
     # loss includes the weighted aux exactly
     assert np.isclose(float(metrics["loss"]),
                       float(metrics["pred_loss"]) + 0.01 * bal, atol=1e-5)
+
+
+def test_moe_balance_loss_token_weight_ignores_padding():
+    """ADVICE r4: the ragged-batch padding rows must not shift the balance
+    statistics — weighted f_e/P_e over real rows only."""
+    import numpy as np
+    from objectpermanence_tpu.parallel.expert import moe_balance_loss
+
+    rng = np.random.default_rng(0)
+    real = jax.nn.softmax(jnp.asarray(rng.normal(size=(3, 7, 4))), axis=-1)
+    # padding rows route everything onto expert 0 — unweighted loss moves
+    pad = jnp.zeros((2, 7, 4)).at[..., 0].set(1.0)
+    probs = jnp.concatenate([real, pad], axis=0)
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+
+    weighted = float(moe_balance_loss(probs, token_weight=w))
+    real_only = float(moe_balance_loss(real))
+    assert np.isclose(weighted, real_only, atol=1e-5)
+    assert not np.isclose(float(moe_balance_loss(probs)), real_only, atol=1e-3)
