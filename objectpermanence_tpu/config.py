@@ -45,11 +45,12 @@ def load_model_config(model_name: str) -> dict:
     hyperparameters used by scripts and the headline bench.
 
     Registry variants without their own file resolve to their base
-    architecture's config: `*_no_labels` (same net, masked supervision)
-    and `opnet_moe` (opnet hyperparameters + default expert dims)."""
+    architecture's config: `*_no_labels` (same net, masked supervision),
+    `opnet_moe` (opnet hyperparameters + default expert dims), and
+    `opnet_att_ce` (same net, attention-CE supervision)."""
     if model_name.endswith("_no_labels"):
         model_name = model_name[: -len("_no_labels")]
-    elif model_name == "opnet_moe":
+    elif model_name in ("opnet_moe", "opnet_att_ce"):
         model_name = "opnet"
     path = (Path(__file__).resolve().parent.parent / "configs" /
             f"{model_name}_model_config.json")

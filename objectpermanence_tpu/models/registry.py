@@ -24,6 +24,13 @@ TRAINING_SUPPORTED_MODELS_6_TRACKS = [
     "opnet", "opnet_no_labels",
     "opnet_lstm_mlp", "opnet_lstm_mlp_no_labels",
     "opnet_moe",  # beyond-reference: MoE box head (parallel/expert.py)
+    # beyond-reference: OPNet whose who-to-attend logits are additionally
+    # supervised with cross-entropy against the datasets' containment-oracle
+    # index_to_track — the supervision signal the reference computes
+    # (`datasets.py:199-257`) and returns from the model
+    # (`learned_models.py:50-52`) but never adds to the loss
+    # (`training_main.py:185-186` unpacks and drops it)
+    "opnet_att_ce",
 ]
 
 TRAINING_SUPPORTED_MODELS = TRAINING_SUPPORTED_MODELS_5_TRACKS + TRAINING_SUPPORTED_MODELS_6_TRACKS
@@ -49,10 +56,17 @@ class ModelSpec:
     # opnet_moe (Switch load-balance term, alpha=0.01 per Fedus et al.),
     # whose apply(..., return_aux=True) returns it as a third output
     aux_loss_weight: float = 0.0
+    # weight of the attention cross-entropy vs the containment oracle's
+    # index_to_track; non-zero only for opnet_att_ce
+    att_ce_weight: float = 0.0
 
 
 def _base_name(name: str) -> str:
-    return name[: -len("_no_labels")] if name.endswith("_no_labels") else name
+    if name.endswith("_no_labels"):
+        return name[: -len("_no_labels")]
+    if name == "opnet_att_ce":
+        return "opnet"
+    return name
 
 
 _ARCHS: Dict[str, tuple] = {
@@ -79,10 +93,13 @@ def get_model_spec(name: str, config: Optional[Dict] = None) -> ModelSpec:
     aux_weight = 0.0
     if base == "opnet_moe":
         aux_weight = float((config or {}).get("moe_balance_weight", 0.01))
+    att_ce = 0.0
+    if name == "opnet_att_ce":
+        att_ce = float((config or {}).get("att_ce_weight", 1.0))
     return ModelSpec(
         name=name, init=init, apply=apply, feature_width=width,
         double_output=double, no_labels=name in NO_LABELS_MODELS,
-        aux_loss_weight=aux_weight,
+        aux_loss_weight=aux_weight, att_ce_weight=att_ce,
     )
 
 

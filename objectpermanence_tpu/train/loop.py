@@ -42,21 +42,29 @@ from objectpermanence_tpu.utils import checkpoint as ckpt
 
 
 def _forward(spec: ModelSpec, params, boxes, deterministic, rng,
-             with_aux: bool = False, sample_weight=None):
+             with_aux: bool = False, sample_weight=None,
+             with_logits: bool = False):
     """-> model output, or (output, aux loss scalar) when `with_aux` and the
     spec carries an auxiliary training loss (opnet_moe's Switch balance
-    term). `sample_weight` (B,) keeps ragged-batch padding rows out of the
+    term), or (output, logits, aux) when additionally `with_logits`.
+    `sample_weight` (B,) keeps ragged-batch padding rows out of the
     balance statistics."""
     if with_aux and spec.aux_loss_weight:
-        out, _, aux = spec.apply(params, boxes, deterministic=deterministic,
-                                 rng=rng, return_aux=True,
-                                 aux_token_weight=sample_weight)
-        return out, aux
-    if spec.double_output:
-        out, _ = spec.apply(params, boxes, deterministic=deterministic, rng=rng)
+        out, logits, aux = spec.apply(params, boxes,
+                                      deterministic=deterministic,
+                                      rng=rng, return_aux=True,
+                                      aux_token_weight=sample_weight)
+    elif spec.double_output:
+        out, logits = spec.apply(params, boxes, deterministic=deterministic,
+                                 rng=rng)
+        aux = jnp.zeros(())
     else:
-        out = spec.apply(params, boxes, deterministic=deterministic, rng=rng)
-    return (out, jnp.zeros(())) if with_aux else out
+        out, logits, aux = spec.apply(params, boxes,
+                                      deterministic=deterministic,
+                                      rng=rng), None, jnp.zeros(())
+    if with_logits:
+        return out, logits, aux
+    return (out, aux) if with_aux else out
 
 
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
@@ -71,13 +79,16 @@ def make_train_step(spec: ModelSpec, optimizer):
     on_tpu = jax.default_backend() == "tpu"
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, boxes, labels, mask, rng, weights=None):
+    def train_step(params, opt_state, boxes, labels, mask, rng, weights=None,
+                   tracks=None):
         def loss_fn(p):
             from objectpermanence_tpu.ops import lstm as lstm_ops
             # deterministic=False: dropout active in training (transformer)
             with lstm_ops.fused_scan(on_tpu):
-                out, aux = _forward(spec, p, boxes, False, rng,
-                                    with_aux=True, sample_weight=weights)
+                out, logits, aux = _forward(spec, p, boxes, False, rng,
+                                            with_aux=True,
+                                            sample_weight=weights,
+                                            with_logits=True)
             # weights: (B,) 0/1 vector zeroing the repeated-row padding of
             # the ragged final batch so duplicates carry no gradient
             loss, metrics = total_loss(out, labels, mask, spec.no_labels,
@@ -85,6 +96,12 @@ def make_train_step(spec: ModelSpec, optimizer):
             if spec.aux_loss_weight:
                 loss = loss + spec.aux_loss_weight * aux
                 metrics = {**metrics, "loss": loss, "balance_loss": aux}
+            if spec.att_ce_weight and tracks is not None:
+                from objectpermanence_tpu.train.losses import attention_ce_loss
+                att_ce = attention_ce_loss(logits, tracks,
+                                           sample_weight=weights)
+                loss = loss + spec.att_ce_weight * att_ce
+                metrics = {**metrics, "loss": loss, "att_ce_loss": att_ce}
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -135,13 +152,18 @@ class DeviceDataset:
         mask = (dataset.containment_mask if dataset.containment_mask is not None
                 else np.zeros(dataset.labels.shape, dtype=bool))
         self.mask = jax.device_put(mask, repl)
+        tracks = (dataset.index_to_track
+                  if dataset.index_to_track is not None
+                  else np.zeros(dataset.labels.shape[:2], dtype=np.int32))
+        self.tracks = jax.device_put(np.asarray(tracks, np.int32), repl)
         out = batch_sharding(mesh)
         self._gather = jax.jit(
-            lambda boxes, labels, mask, idx: (boxes[idx], labels[idx], mask[idx]),
-            out_shardings=(out, out, out))
+            lambda boxes, labels, mask, tracks, idx:
+                (boxes[idx], labels[idx], mask[idx], tracks[idx]),
+            out_shardings=(out, out, out, out))
 
     def batch(self, indices: np.ndarray):
-        return self._gather(self.boxes, self.labels, self.mask,
+        return self._gather(self.boxes, self.labels, self.mask, self.tracks,
                             jnp.asarray(indices, jnp.int32))
 
     def batch_indices(self, batch_size: int, *, shuffle: bool = False, seed: int = 0):
@@ -167,7 +189,7 @@ def evaluate(eval_step, params, data: DeviceDataset, batch_size: int) -> Dict[st
     loss_sum = 0.0
     video_ious, cont_sums, cont_counts = [], [], []
     for indices, real in data.batch_indices(batch_size):
-        boxes, labels, mask = data.batch(indices)
+        boxes, labels, mask, _ = data.batch(indices)
         metrics, vid_iou, c_sum, c_cnt = eval_step(params, boxes, labels, mask)
         loss_sum += float(metrics["loss"]) * real
         video_ious.append(np.asarray(vid_iou)[:real])
@@ -263,12 +285,13 @@ def training_main(spec: ModelSpec, train_dataset: IngestedDataset,
         for batch_idx, (indices, real) in enumerate(
                 train_data.batch_indices(batch_size, shuffle=True,
                                          seed=seed + epoch), 1):
-            boxes, labels, mask = train_data.batch(indices)
+            boxes, labels, mask, tracks = train_data.batch(indices)
             weights = jnp.asarray(
                 (np.arange(batch_size) < real).astype(np.float32))
             rng, step_rng = jax.random.split(rng)
             params, opt_state, metrics = train_step(
-                params, opt_state, boxes, labels, mask, step_rng, weights)
+                params, opt_state, boxes, labels, mask, step_rng, weights,
+                tracks)
             pending.append(metrics)
 
             if batch_idx % cfg.print_step == 0:

@@ -52,6 +52,23 @@ def consistency_loss(output: jnp.ndarray, eps: float = 1e-12,
     return jnp.mean(norms)
 
 
+def attention_ce_loss(logits: jnp.ndarray, index_to_track: jnp.ndarray,
+                      sample_weight: jnp.ndarray = None) -> jnp.ndarray:
+    """Cross-entropy between the who-to-attend logits (B, objects, T) — the
+    OPNet-family second output, reference `learned_models.py:50-52` — and
+    the containment-oracle targets (B, T) from the datasets
+    (`datasets.py:199-257`). The reference computes both and drops them on
+    the floor (`training_main.py:185-186`); the beyond-reference
+    opnet_att_ce variant adds this term to the loss."""
+    import optax
+
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        jnp.swapaxes(logits, 1, 2), index_to_track)        # (B, T)
+    if sample_weight is not None:
+        return _weighted_mean(ce, sample_weight)
+    return jnp.mean(ce)
+
+
 def total_loss(output: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
                no_labels: bool,
                sample_weight: jnp.ndarray = None) -> Tuple[jnp.ndarray, dict]:

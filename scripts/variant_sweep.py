@@ -42,6 +42,9 @@ for _m in list(MODEL_CONFIGS):
 # beyond-reference MoE variant: opnet config + default num_experts/
 # expert_hidden (models/reasoning.py:opnet_moe_init)
 MODEL_CONFIGS["opnet_moe"] = MODEL_CONFIGS["opnet"]
+# beyond-reference attention-CE variant: same net, adds the supervision the
+# reference computes but never uses (training_main.py:185-186)
+MODEL_CONFIGS["opnet_att_ce"] = MODEL_CONFIGS["opnet"]
 
 
 def training_mask_file(spec, split_dir: Path) -> Path:

@@ -30,7 +30,7 @@ SMALL_CFGS = {
 
 def _cfg(name):
     base = name[:-len("_no_labels")] if name.endswith("_no_labels") else name
-    return SMALL_CFGS[base]
+    return SMALL_CFGS["opnet" if base == "opnet_att_ce" else base]
 
 
 @pytest.mark.parametrize("name", TRAINING_SUPPORTED_MODELS)

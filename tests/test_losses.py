@@ -75,3 +75,61 @@ def test_sample_weight_masks_final_batch_padding():
                                      jnp.asarray(mask), no_labels=False,
                                      sample_weight=jnp.ones(5, jnp.float32))
     np.testing.assert_allclose(float(loss_ones), float(loss_plain), rtol=1e-7)
+
+
+def test_attention_ce_loss_targets_and_weights():
+    """CE vs the containment-oracle targets: exact value on a hand case,
+    ragged-batch padding rows excluded by sample_weight."""
+    import jax.numpy as jnp
+    import numpy as np
+    from objectpermanence_tpu.train.losses import attention_ce_loss
+
+    # logits (B=2, objects=3, T=2): put all mass on the target for row 0,
+    # uniform for row 1
+    big = 50.0
+    logits = np.zeros((2, 3, 2), np.float32)
+    logits[0, 1, 0] = big   # frame 0 target 1
+    logits[0, 2, 1] = big   # frame 1 target 2
+    targets = np.array([[1, 2], [0, 0]], np.int32)
+    full = float(attention_ce_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    # row 0 CE ~ 0; row 1 CE = log(3) per frame
+    np.testing.assert_allclose(full, np.log(3.0) / 2, rtol=1e-5)
+    w = jnp.asarray([1.0, 0.0])
+    only_row0 = float(attention_ce_loss(jnp.asarray(logits),
+                                        jnp.asarray(targets), w))
+    assert only_row0 < 1e-5
+
+
+def test_opnet_att_ce_train_step_uses_tracks():
+    """The opnet_att_ce spec adds the attention CE to the loss (metrics
+    carry att_ce_loss) and training moves the who-to-attend logits toward
+    the oracle targets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from objectpermanence_tpu.models.registry import get_model_spec
+    from objectpermanence_tpu.train.loop import make_optimizer, make_train_step
+
+    cfg = {"object_to_track_pred_dim": 15, "object_to_track_hidden_dim": 16,
+           "videos_hidden_dim": 32}
+    spec = get_model_spec("opnet_att_ce", cfg)
+    assert spec.att_ce_weight == 1.0
+    params = spec.init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(1e-2)
+    opt_state = optimizer.init(params)
+    step = make_train_step(spec, optimizer)
+    rng = np.random.RandomState(0)
+    boxes = jnp.asarray(rng.rand(4, 8, 15, 6), jnp.float32)
+    labels = jnp.asarray(rng.rand(4, 8, 4), jnp.float32)
+    mask = jnp.asarray(rng.rand(4, 8, 4) > 0.5)
+    tracks = jnp.asarray(rng.randint(0, 15, (4, 8)), jnp.int32)
+    first = None
+    for i in range(30):
+        params, opt_state, metrics = step(params, opt_state, boxes, labels,
+                                          mask, jax.random.PRNGKey(i),
+                                          None, tracks)
+        if first is None:
+            first = float(metrics["att_ce_loss"])
+    assert "att_ce_loss" in metrics
+    assert float(metrics["att_ce_loss"]) < first, \
+        (float(metrics["att_ce_loss"]), first)
