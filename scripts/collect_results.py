@@ -133,7 +133,24 @@ ARTIFACTS = [
      stamped(TM.format("_opnet_moe"), 1600)),
     ("/root/data/twostage/results_models.json",
      "twostage1600/results_models.json", models_table(1600)),
-    ("/root/data/twostage/train_meta.json", "twostage1600/train_meta.json"),
+    # round 5: the full 3,200-video two-stage rerun (opnet only; the live
+    # analysis.csv/metrics/stamp are overwritten by the 3,200 run, at which
+    # point the twostage1600 mirrors above start REFUSING — correct, they
+    # are frozen in git)
+    ("/root/data/twostage/analysis.csv", "twostage3200/analysis.csv",
+     stamped(TM.format(""), 3200)),
+    ("/root/data/twostage/metrics.jsonl",
+     "twostage3200/opnet_train_metrics.jsonl", stamped(TM.format(""), 3200)),
+    ("/root/data/twostage/perception_stats.json",
+     "twostage3200/perception_stats.json", perception_stats(3200)),
+    ("/root/data/twostage/cater/grid_results.json",
+     "twostage3200/grid_results.json", grid_rows("_two_stage_3200")),
+    ("/root/data/twostage/results_models_3200.json",
+     "twostage3200/results_models.json", models_table(3200)),
+    ("/root/data/twostage/train_meta.json", "twostage3200/train_meta.json",
+     stamped(TM.format(""), 3200)),
+    ("/root/data/twostage/train_meta.json", "twostage1600/train_meta.json",
+     stamped(TM.format(""), 1600)),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
     ("/root/data/sim4k/cater/grid_results.json", "sim4k/cater_grid_results.json"),
     # unbiased-planner eval (scripts/unbiased_eval.py). NOTE: the committed
