@@ -14,11 +14,16 @@ async; np.asarray is the sync).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/5000,
-     "compute_fps": N, "data": "real:..."|"synthetic"}
+     "compute_fps": N, "compute_fps_bf16": N, "link_efficiency": N,
+     "data": "real:..."|"synthetic"}
 value is the D2H-inclusive pipelined number (the headline); compute_fps is
-the same-session device-compute ceiling (tiny final fetch only), recorded
-so tunnel-health swings are visible in the artifact itself. vs_baseline is
-relative to the 5,000 frames/sec/chip north-star target
+the same-session device-compute ceiling (tiny final fetch only) and is the
+STABLE round-over-round number — the headline rides the dev tunnel's
+weather, which link_efficiency (= value / compute_fps) makes explicit in
+the artifact itself (~1.0 on production PCIe/on-chip serving, <<1 through
+a wedged tunnel). compute_fps_bf16 is the ceiling with the fused kernel's
+bf16 matmul mode (~1 px box precision trade, `ops/pallas_scan.py`).
+vs_baseline is relative to the 5,000 frames/sec/chip north-star target
 (/root/repo/BASELINE.json; the reference repo publishes no numbers of its
 own — SURVEY §6).
 """
@@ -198,6 +203,23 @@ def main() -> None:
         compute_best = min(compute_best, time.perf_counter() - start)
     compute_fps = BATCH_VIDEOS * NUM_FRAMES * MEASURE_ITERS / compute_best
 
+    # bf16 fused-kernel ceiling (same shapes; ~1 px box precision trade)
+    compute_fps_bf16 = None
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+        bf16_step = make_predict_step(spec, out_dtype=np.int16,
+                                      compute_dtype=jnp.bfloat16)
+        np.asarray(bf16_step(params, device_batches[0]))  # compile
+        bf16_best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            out = None
+            for i in range(MEASURE_ITERS):
+                out = bf16_step(params, device_batches[i % 2])
+            np.asarray(out[0, 0])
+            bf16_best = min(bf16_best, time.perf_counter() - start)
+        compute_fps_bf16 = BATCH_VIDEOS * NUM_FRAMES * MEASURE_ITERS / bf16_best
+
     # headline: D2H-inclusive pipelined serving loop, best sustained window
     # of 3 (the host<->device link — a tunnel in dev, PCIe in production —
     # has throughput jitter that is not a property of the pipeline)
@@ -225,6 +247,12 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
         "compute_fps": round(compute_fps, 1),
+        "compute_fps_bf16": (round(compute_fps_bf16, 1)
+                             if compute_fps_bf16 else None),
+        # how much of the device ceiling survives the host link: ~1.0 on
+        # production serving, <<1 through an unhealthy dev tunnel — the
+        # round-over-round comparable number is compute_fps
+        "link_efficiency": round(frames_per_sec / compute_fps, 3),
         "data": data_tag,
     }))
 
