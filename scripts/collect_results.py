@@ -149,6 +149,15 @@ ARTIFACTS = [
      "twostage3200/results_models.json", models_table(3200)),
     ("/root/data/twostage/train_meta.json", "twostage3200/train_meta.json",
      stamped(TM.format(""), 3200)),
+    # round 5: no-labels ablation on REAL detections (VERDICT r4 #5)
+    ("/root/data/twostage/analysis_opnet_no_labels.csv",
+     "twostage3200/analysis_opnet_no_labels.csv",
+     stamped(TM.format("_opnet_no_labels"), 3200)),
+    ("/root/data/twostage/analysis_baseline_lstm_no_labels.csv",
+     "twostage3200/analysis_baseline_lstm_no_labels.csv",
+     stamped(TM.format("_baseline_lstm_no_labels"), 3200)),
+    # round 5: 800px inference matrix (scripts/detector_infer800.py)
+    ("/root/data/det800/infer800.json", "det800/infer800.json"),
     ("/root/data/twostage/train_meta.json", "twostage1600/train_meta.json",
      stamped(TM.format(""), 1600)),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)

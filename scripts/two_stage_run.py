@@ -192,12 +192,20 @@ def preprocess(root: Path, batch_size: int,
     (root / "perception_stats.json").write_text(json.dumps(stats, indent=2))
 
 
-def ingest_split(root: Path, src: Path, split: str, feature_width: int):
+def ingest_split(root: Path, src: Path, split: str, spec):
+    """Ingest a split's REAL detections. The dataset 'mask' doubles as the
+    training loss mask: `*_no_labels` models need the VISIBLE-frames file
+    (reference `training_main.py:199-201`); feeding the containment file
+    would supervise exactly the hidden frames and collapse training (the
+    round-2 bug, see scripts/variant_sweep.py::training_mask_file)."""
     from objectpermanence_tpu.data.ingest import ingest_directory
+    mask_file = (
+        src / split / "od_perception" / "visibility_rate_gt_0.99.txt"
+        if spec.no_labels
+        else src / split / "annotations" / "containment_annotations.txt")
     return ingest_directory(
-        root / split / "od_real", src / split / "labels", feature_width,
-        src / split / "annotations" / "containment_annotations.txt",
-        str(root / "cache"))
+        root / split / "od_real", src / split / "labels",
+        spec.feature_width, mask_file, str(root / "cache"))
 
 
 def opnet(root: Path, src: Path, epochs: int, resume: bool,
@@ -208,7 +216,7 @@ def opnet(root: Path, src: Path, epochs: int, resume: bool,
     spec = get_model_spec(model)
     datasets = {}
     for split in ("train", "dev"):
-        datasets[split] = ingest_split(root, src, split, spec.feature_width)
+        datasets[split] = ingest_split(root, src, split, spec)
         print(f"[{model}] ingested {split}: {len(datasets[split])} videos",
               flush=True)
     train_config = {
