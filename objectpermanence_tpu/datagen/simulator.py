@@ -75,15 +75,17 @@ class SimObject:
         return SIZE_GEOMETRY[self.size][0]
 
 
-def _project_box(center: np.ndarray, half: float, height: float) -> List[float]:
+def _project_box(center: np.ndarray, half: float, height: float,
+                 cam: np.ndarray = None) -> List[float]:
     """Project the 8 corners of an object's bounding volume to a 2D xywh
-    pixel box (mirrors `camera_view_bounds_2d`, `render_videos.py:623-687`)."""
+    pixel box (mirrors `camera_view_bounds_2d`, `render_videos.py:623-687`).
+    `cam` overrides the fixed camera (camera-motion mode)."""
     cx, cy, cz = center
     corners = np.array([
         [cx + sx * half, cy + sy * half, cz + sz * height]
         for sx in (-1, 1) for sy in (-1, 1) for sz in (0, 1)
     ])
-    img = project_3d_point(corners)  # [-1, 1], y negated already
+    img = project_3d_point(corners, cam=cam)  # [-1, 1], y negated already
     xs = (img[:, 0] + 1) * FRAME_WIDTH / 2
     ys = (img[:, 1] + 1) * FRAME_HEIGHT / 2
     x1 = float(np.clip(xs.min(), 0, FRAME_WIDTH - 1))
@@ -127,7 +129,8 @@ class SceneSimulator:
     """Randomized (but seed-deterministic) planner-driven scene builder."""
 
     def __init__(self, seed: int, num_frames: int = VIDEO_NUM_FRAMES,
-                 num_objects: int = 6, snitch_bias: float = 0.0):
+                 num_objects: int = 6, snitch_bias: float = 0.0,
+                 camera_motion: bool = False):
         self.rng = np.random.RandomState(seed)
         self.num_frames = num_frames
         self.num_objects = num_objects
@@ -135,10 +138,55 @@ class SceneSimulator:
         # first (0.0 == the reference's uniform pair sampling; >0 balances
         # training data toward snitch containment)
         self.snitch_bias = snitch_bias
+        # optional random camera motion (reference
+        # `render_videos.py:809-843`): camera location re-keyframed every 30
+        # frames, rotation/intrinsics fixed. Off by default (the reference's
+        # default too). Uses a DEDICATED rng stream so fixed-camera scenes
+        # stay byte-identical for any seed whether or not the flag exists.
+        self.camera_motion = camera_motion
+        self._camera_keyframes = (
+            self._random_camera_keyframes(np.random.RandomState(seed + 7919))
+            if camera_motion else None)
         scale = num_frames / 300.0
         self.mmin = max(4, int(round(MOVEMENT_MIN * scale)))
         self.mmax = max(self.mmin + 2, int(round(MOVEMENT_MAX * scale)))
         self.jitter = max(2, int(round(START_JITTER * scale)))
+
+    def _random_camera_keyframes(self, rng) -> List[Tuple[int, np.ndarray]]:
+        """Keyframe schedule mirroring the reference's
+        `add_random_camera_motion` (`render_videos.py:823-843`): start at
+        the base camera; every 30 frames move EITHER x or y to +-10 (never
+        both — (0,0,z) is a singularity) and z to one of {8,10,12}.
+        Blender's keyframe_insert records the camera's full current
+        location, so unset coordinates persist from the previous keyframe."""
+        from objectpermanence_tpu.ops.homography import camera_center
+
+        cur = camera_center().copy()
+        keys = [(0, cur.copy())]
+        shift_interval = 30
+        for frame_id in range(shift_interval, self.num_frames,
+                              shift_interval):
+            if rng.random_sample() > 0.5:
+                cur[0] = rng.choice([-10, 10])
+            else:
+                cur[1] = rng.choice([-10, 10])
+            cur[2] = rng.choice([8, 10, 12])
+            keys.append((frame_id, cur.copy()))
+        keys.append((self.num_frames, cur.copy()))
+        return keys
+
+    def camera_location(self, frame: int) -> Optional[np.ndarray]:
+        """Per-frame camera location (linear interpolation between
+        keyframes — an approximation of Blender's default Bezier f-curves),
+        or None in fixed-camera mode."""
+        if self._camera_keyframes is None:
+            return None
+        keys = self._camera_keyframes
+        for (f0, p0), (f1, p1) in zip(keys, keys[1:]):
+            if f0 <= frame <= f1:
+                a = 0.0 if f1 == f0 else (frame - f0) / (f1 - f0)
+                return p0 + a * (p1 - p0)
+        return keys[-1][1]
 
     # ------------------------------------------------------------------
     # world setup
@@ -462,14 +510,27 @@ class SceneSimulator:
             "movements": {k: [[a, other, int(s), int(e)]
                               for a, other, s, e in v]
                           for k, v in movements.items()},
+            # additive: fixed-camera scenes omit the key entirely, so all
+            # existing scene jsons and their consumers are unchanged
+            **({"camera_motion": {
+                "keyframes": [[int(f), [float(v) for v in p]]
+                              for f, p in self._camera_keyframes]}}
+               if self.camera_motion else {}),
         }
 
     def gt_bb_json(self, objs) -> dict:
+        from objectpermanence_tpu.ops.homography import camera_matrix_at
+
+        cams = None
+        if self.camera_motion:
+            cams = [camera_matrix_at(self.camera_location(f))
+                    for f in range(self.num_frames)]
         tracks = {}
         for o in objs:
             half, height = SIZE_GEOMETRY[o.size]
             tracks[o.track_name] = [
-                _project_box(o.positions[f], half, height)
+                _project_box(o.positions[f], half, height,
+                             cam=None if cams is None else cams[f])
                 for f in range(self.num_frames)
             ]
         return tracks
@@ -483,7 +544,8 @@ def scene_has_snitch_containment(movements: Dict[str, List[list]]) -> bool:
 def simulate_dataset(root, num_videos: int = 8, seed: int = 0,
                      num_frames: int = VIDEO_NUM_FRAMES,
                      num_objects: int = 6, snitch_bias: float = 0.5,
-                     require_snitch_containment: bool = True
+                     require_snitch_containment: bool = True,
+                     camera_motion: bool = False
                      ) -> Tuple[Path, Path]:
     """Write scenes/ + labels/ for `num_videos` simulated scenes.
     With `require_snitch_containment` (training-data default), scenes whose
@@ -511,7 +573,8 @@ def simulate_dataset(root, num_videos: int = 8, seed: int = 0,
             # scenes byte-identical to train scenes)
             sim = SceneSimulator((seed << 20) + v * 64 + attempt,
                                  num_frames, num_objects,
-                                 snitch_bias=snitch_bias)
+                                 snitch_bias=snitch_bias,
+                                 camera_motion=camera_motion)
             objs, movements = sim.build()
             if (not require_snitch_containment
                     or scene_has_snitch_containment(movements)):

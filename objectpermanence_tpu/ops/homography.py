@@ -23,17 +23,37 @@ CATER_CAM = np.array([
 PLANE_Z = 0.3421497941017151
 
 
-def project_3d_point(pts: np.ndarray) -> np.ndarray:
+def project_3d_point(pts: np.ndarray, cam: np.ndarray = None) -> np.ndarray:
     """Project (N, 3) world points to (N, 2) image coords in [-1, 1]
     (the Y axis negated so low Y is at the top), reference
-    `proj_utils.py:18-32`."""
+    `proj_utils.py:18-32`. `cam` overrides the fixed CATER camera (see
+    `camera_matrix_at` — used by the simulator's camera-motion mode)."""
     pts = np.asarray(pts, dtype=np.float64)
     homo = np.hstack([pts, np.ones((pts.shape[0], 1))])
-    p = (CATER_CAM @ homo.T).T
+    p = ((CATER_CAM if cam is None else cam) @ homo.T).T
     out = np.empty((pts.shape[0], 2))
     out[:, 0] = p[:, 0] / p[:, -1]
     out[:, 1] = -p[:, 1] / p[:, -1]
     return out
+
+
+def camera_center() -> np.ndarray:
+    """The CATER camera's world location, recovered from the projection
+    matrix itself (rows x, y, w form P = K[R | -R C]; C = -M^-1 p4)."""
+    p = CATER_CAM[[0, 1, 3], :]
+    return -np.linalg.solve(p[:, :3], p[:, 3])
+
+
+def camera_matrix_at(location: np.ndarray) -> np.ndarray:
+    """The CATER projection matrix with the camera TRANSLATED to `location`
+    (rotation/intrinsics unchanged) — exactly what the reference's random
+    camera motion does (`render_videos.py:834-843` keyframes
+    Camera.location only). Moving the camera by d equals translating the
+    world by -d, so the new matrix is CATER_CAM @ [[I, -d], [0, 1]]."""
+    d = np.asarray(location, dtype=np.float64) - camera_center()
+    t = np.eye(4)
+    t[:3, 3] = -d
+    return CATER_CAM @ t
 
 
 def fit_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -455,3 +455,58 @@ def test_planner_release_splits_and_clears_containment():
                     assert sim.contains[name][release[3]] is None
                     found = True
     assert found, "no containment release found across 50 seeds"
+
+
+def test_camera_motion_scenes():
+    """Random camera motion (reference render_videos.py:809-843): keyframes
+    every 30 frames with x OR y at +-10 and z in {8,10,12}; GT boxes move
+    even for static objects; the motion draws from a DEDICATED rng so the
+    scene plan itself is byte-identical to the fixed-camera scene."""
+    from objectpermanence_tpu.datagen.simulator import SceneSimulator
+
+    fixed = SceneSimulator(123, num_frames=90, num_objects=5)
+    moving = SceneSimulator(123, num_frames=90, num_objects=5,
+                            camera_motion=True)
+    objs_f, mov_f = fixed.build()
+    objs_m, mov_m = moving.build()
+    # same plan: the camera stream must not perturb object randomness
+    assert fixed.scene_json(objs_f, mov_f)["objects"] == \
+        moving.scene_json(objs_m, mov_m)["objects"]
+    assert "camera_motion" not in fixed.scene_json(objs_f, mov_f)
+    keys = moving.scene_json(objs_m, mov_m)["camera_motion"]["keyframes"]
+    assert keys[0][0] == 0
+    base = keys[0][1]
+    for f, loc in keys[1:]:
+        assert f % 30 == 0 or f == 90
+        assert loc[2] in (8.0, 10.0, 12.0)
+        assert loc[0] in (-10.0, 10.0, base[0]) and \
+            loc[1] in (-10.0, 10.0, base[1])
+    # per-frame interpolation is continuous and hits the keyframes
+    import numpy as np
+    for f, loc in keys[:-1]:
+        np.testing.assert_allclose(moving.camera_location(min(f, 89)),
+                                   loc if f < 90 else keys[-1][1], atol=1.0)
+    # static objects' GT boxes move when the camera does
+    bb_f = fixed.gt_bb_json(objs_f)
+    bb_m = moving.gt_bb_json(objs_m)
+    name = objs_f[0].track_name
+    assert bb_f[name] != bb_m[name]
+    # boxes stay inside the frame (projection stays sane off-axis)
+    for boxes in bb_m.values():
+        for x, y, w, h in boxes:
+            assert 0 <= x <= 320 and 0 <= y <= 240 and w >= 0 and h >= 0
+
+
+def test_camera_matrix_at_base_is_identity():
+    """camera_matrix_at(camera_center()) must reproduce the fixed camera."""
+    import numpy as np
+    from objectpermanence_tpu.ops.homography import (
+        CATER_CAM, camera_center, camera_matrix_at, project_3d_point,
+    )
+
+    np.testing.assert_allclose(camera_matrix_at(camera_center()), CATER_CAM,
+                               atol=1e-9)
+    pts = np.array([[0.0, 0.0, 0.3], [1.0, -2.0, 0.5]])
+    np.testing.assert_allclose(
+        project_3d_point(pts, cam=camera_matrix_at(camera_center())),
+        project_3d_point(pts), atol=1e-9)
