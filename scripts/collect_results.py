@@ -195,6 +195,11 @@ ARTIFACTS = [
     # paper-parity question (VERDICT r4 #2)
     ("/root/data/unb/sweep3200/results.json",
      "unbiased/sweep3200_results.json"),
+    # round 5: full-data (3,200-video biased) opnet_moe row + route balance
+    ("/root/data/sim4k/sweep3200moe/results.json",
+     "moe/results_full_data.json"),
+    ("/root/data/sim4k/sweep3200moe/opnet_moe/moe_balance.json",
+     "moe/moe_balance_full_data.json"),
 ]
 
 MAX_BYTES = 4 * 1024 * 1024  # refuse to copy anything bulky by accident
