@@ -59,11 +59,34 @@ def contained_frame_ranges(scene: dict) -> Dict[int, List[Tuple[int, int]]]:
     return ranges
 
 
-def occluded_pair(box1_xywh, box2_xywh, coord1, coord2, overlap_thresh: float
+def scene_camera_location(scene: dict, frame: int) -> np.ndarray:
+    """Per-frame camera location: the fixed CAMERA_LOCATION unless the
+    scene json carries a `camera_motion` block (simulator scenes using the
+    reference renderer's optional random camera motion), whose keyframes
+    are linearly interpolated. NOTE the reference's own perfect-perception
+    tooling hardcodes the camera even for camera-motion renders
+    (`get_perfect_perception_and_visible_snitch_ratio.py:198-229`);
+    honoring the scene's recorded camera keeps occlusion labels and paint
+    order consistent with the projected boxes — a deliberate improvement."""
+    cm = scene.get("camera_motion")
+    if not cm:
+        return CAMERA_LOCATION
+    keys = cm["keyframes"]
+    for (f0, p0), (f1, p1) in zip(keys, keys[1:]):
+        if f0 <= frame <= f1:
+            a = 0.0 if f1 == f0 else (frame - f0) / (f1 - f0)
+            p0 = np.asarray(p0, dtype=np.float64)
+            return p0 + a * (np.asarray(p1, dtype=np.float64) - p0)
+    return np.asarray(keys[-1][1], dtype=np.float64)
+
+
+def occluded_pair(box1_xywh, box2_xywh, coord1, coord2, overlap_thresh: float,
+                  camera_location: np.ndarray = None
                   ) -> Optional[Tuple[bool, bool]]:
     """Geometric occlusion test (reference `_check_if_obj_occluded`): if the
     smaller box overlaps the bigger by >= thresh of its own area AND is
-    farther from the camera, it is occluded."""
+    farther from the camera, it is occluded. `camera_location` overrides
+    the fixed camera (camera-motion scenes)."""
     def to_xyxy(b):
         return np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]])
 
@@ -75,8 +98,9 @@ def occluded_pair(box1_xywh, box2_xywh, coord1, coord2, overlap_thresh: float
     a2 = (b2[2] - b2[0] + 1) * (b2[3] - b2[1] + 1)
     if inter / min(a1, a2) < overlap_thresh:
         return None
-    d1 = np.linalg.norm(CAMERA_LOCATION - np.asarray(coord1))
-    d2 = np.linalg.norm(CAMERA_LOCATION - np.asarray(coord2))
+    cam = CAMERA_LOCATION if camera_location is None else camera_location
+    d1 = np.linalg.norm(cam - np.asarray(coord1))
+    d2 = np.linalg.norm(cam - np.asarray(coord2))
     if a1 < a2 and d1 > d2:
         return (True, False)
     if a2 < a1 and d2 > d1:
@@ -127,16 +151,17 @@ class PerfectPerceptionGenerator:
                 frame_labels.append(label)
                 frame_coords.append(obj["locations"][str(f)])
             frames.append((frame_bb, np.array(frame_labels, dtype=np.int64),
-                           frame_coords))
+                           frame_coords, scene_camera_location(scene, f)))
         return frames
 
-    def _visible_subset(self, frame_bb, frame_labels, frame_coords):
+    def _visible_subset(self, frame_bb, frame_labels, frame_coords, cam):
         occluded = [False] * len(frame_bb)
         thresh = 1 - self.visible_ratio
         for i in range(len(frame_bb)):
             for j in range(i, len(frame_bb)):
                 result = occluded_pair(frame_bb[i], frame_bb[j],
-                                       frame_coords[i], frame_coords[j], thresh)
+                                       frame_coords[i], frame_coords[j],
+                                       thresh, camera_location=cam)
                 if result is not None:
                     if result[0]:
                         occluded[i] = True
@@ -152,10 +177,11 @@ class PerfectPerceptionGenerator:
         for name in self._video_names():
             scene, gt_bb = self._load(name)
             data = {"bb": [], "labels": []}
-            for frame_bb, frame_labels, frame_coords in self._scene_frames(scene, gt_bb):
+            for frame_bb, frame_labels, frame_coords, cam in \
+                    self._scene_frames(scene, gt_bb):
                 if self.mode == "visible_only":
                     frame_bb, frame_labels = self._visible_subset(
-                        frame_bb, frame_labels, frame_coords)
+                        frame_bb, frame_labels, frame_coords, cam)
                 xyxy = [np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]])
                         for b in frame_bb]
                 data["bb"].append(np.asarray(xyxy, dtype=np.float32).reshape(-1, 4))
@@ -174,7 +200,8 @@ class PerfectPerceptionGenerator:
         for name in self._video_names():
             scene, gt_bb = self._load(name)
             visible = []
-            for frame_bb, frame_labels, frame_coords in self._scene_frames(scene, gt_bb):
+            for frame_bb, frame_labels, frame_coords, cam in \
+                    self._scene_frames(scene, gt_bb):
                 if SNITCH_INDEX not in frame_labels:
                     visible.append(False)
                     continue
@@ -186,7 +213,8 @@ class PerfectPerceptionGenerator:
                     if k == snitch_at:
                         continue
                     result = occluded_pair(snitch_bb, frame_bb[k], snitch_coord,
-                                           frame_coords[k], thresh)
+                                           frame_coords[k], thresh,
+                                           camera_location=cam)
                     if result is not None and result[0]:
                         flag = False
                         break

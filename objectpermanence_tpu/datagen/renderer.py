@@ -18,7 +18,7 @@ import numpy as np
 
 from objectpermanence_tpu import FRAME_HEIGHT, FRAME_WIDTH
 from objectpermanence_tpu.datagen.perfect_perception import (
-    CAMERA_LOCATION, contained_frame_ranges, class_index_for_track,
+    contained_frame_ranges, class_index_for_track,
     instance_track_name,
 )
 
@@ -63,10 +63,16 @@ def _render_frame(scene, gt_bb, contained, objects, tracks, labels, f: int):
         if any(start <= f <= end for start, end in spans):
             continue  # hidden inside its container
         visible.append((obj, track, label))
-    # paint far-from-camera first so near objects occlude
+    # paint far-from-camera first so near objects occlude; the camera may
+    # move per frame (scene camera_motion block)
+    from objectpermanence_tpu.datagen.perfect_perception import (
+        scene_camera_location,
+    )
+    cam = scene_camera_location(scene, f)
+
     def cam_dist(entry):
         loc = entry[0]["locations"][str(f)]
-        return -float(np.linalg.norm(CAMERA_LOCATION - np.asarray(loc)))
+        return -float(np.linalg.norm(cam - np.asarray(loc)))
     visible.sort(key=cam_dist)
 
     frame_bb, frame_labels = [], []

@@ -205,15 +205,21 @@ ARTIFACTS = [
 MAX_BYTES = 4 * 1024 * 1024  # refuse to copy anything bulky by accident
 
 
-def main() -> int:
-    dests = [a[1] for a in ARTIFACTS]
+def collect(artifacts, out_dir: Path) -> dict:
+    """Mirror `artifacts`; -> summary dict. A provenance refusal is FATAL
+    only when its source satisfies NO configured destination: live paths
+    are deliberately mapped to several run-named destinations (the
+    stair-step reuses them), so exactly one accepting is the healthy
+    state, while a source that every destination refuses is a real
+    mislabel (the round-4 regression this exists to catch)."""
+    dests = [a[1] for a in artifacts]
     dupes = {d for d in dests if dests.count(d) > 1}
     if dupes:
-        print(f"FATAL: duplicate destinations would clobber: {sorted(dupes)}",
-              file=sys.stderr)
-        return 1
-    copied, skipped, failed = [], [], []
-    for entry in ARTIFACTS:
+        raise ValueError(
+            f"duplicate destinations would clobber: {sorted(dupes)}")
+    copied, skipped, refusals = [], [], []
+    accepted_sources = set()
+    for entry in artifacts:
         src, dst = entry[0], entry[1]
         check = entry[2] if len(entry) > 2 else _read
         src_p = Path(src)
@@ -226,16 +232,33 @@ def main() -> int:
         try:
             content = check(src_p)
         except ProvenanceError as e:
-            print(f"PROVENANCE REFUSED: {src} -> {dst}: {e}", file=sys.stderr)
-            failed.append(dst)
+            refusals.append((src, dst, str(e)))
             continue
-        dst_p = OUT / dst
+        accepted_sources.add(src)
+        dst_p = out_dir / dst
         dst_p.parent.mkdir(parents=True, exist_ok=True)
         dst_p.write_bytes(content)
         copied.append(dst)
-    print(json.dumps({"copied": copied, "missing": skipped,
-                      "provenance_refused": failed}, indent=2))
-    return 1 if failed else 0
+    fatal, aliased = [], []
+    for src, dst, err in refusals:
+        if src in accepted_sources:
+            aliased.append(dst)      # another run-name owns this source now
+        else:
+            fatal.append(dst)
+            print(f"PROVENANCE REFUSED: {src} -> {dst}: {err}",
+                  file=sys.stderr)
+    return {"copied": copied, "missing": skipped,
+            "aliased_skips": aliased, "provenance_refused": fatal}
+
+
+def main() -> int:
+    try:
+        summary = collect(ARTIFACTS, OUT)
+    except ValueError as e:
+        print(f"FATAL: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(summary, indent=2))
+    return 1 if summary["provenance_refused"] else 0
 
 
 if __name__ == "__main__":

@@ -62,6 +62,10 @@ def main() -> None:
     from objectpermanence_tpu.utils.checkpoint import best_params_checkpoint
 
     ckpt = args.ckpt or best_params_checkpoint(args.root / "det800")
+    if ckpt is None:
+        raise FileNotFoundError(
+            f"no detector checkpoint under {args.root / 'det800'} — run "
+            f"scripts/detector_800px_run.py train800 first or pass --ckpt")
     print(f"[infer800] checkpoint: {ckpt}", flush=True)
     test_ds = DetectionDataset(args.root / "test" / "det_images",
                                args.root / "test" / "detection_annotations.csv")

@@ -193,19 +193,16 @@ def preprocess(root: Path, batch_size: int,
 
 
 def ingest_split(root: Path, src: Path, split: str, spec):
-    """Ingest a split's REAL detections. The dataset 'mask' doubles as the
-    training loss mask: `*_no_labels` models need the VISIBLE-frames file
-    (reference `training_main.py:199-201`); feeding the containment file
-    would supervise exactly the hidden frames and collapse training (the
-    round-2 bug, see scripts/variant_sweep.py::training_mask_file)."""
-    from objectpermanence_tpu.data.ingest import ingest_directory
-    mask_file = (
-        src / split / "od_perception" / "visibility_rate_gt_0.99.txt"
-        if spec.no_labels
-        else src / split / "annotations" / "containment_annotations.txt")
+    """Ingest a split's REAL detections; the loss-mask file selection is
+    the shared `data/ingest.py::training_mask_file` (visible-frames file
+    for `*_no_labels` models, containment file otherwise)."""
+    from objectpermanence_tpu.data.ingest import (
+        ingest_directory, training_mask_file,
+    )
     return ingest_directory(
         root / split / "od_real", src / split / "labels",
-        spec.feature_width, mask_file, str(root / "cache"))
+        spec.feature_width, training_mask_file(spec, src / split),
+        str(root / "cache"))
 
 
 def opnet(root: Path, src: Path, epochs: int, resume: bool,

@@ -47,19 +47,9 @@ MODEL_CONFIGS["opnet_moe"] = MODEL_CONFIGS["opnet"]
 MODEL_CONFIGS["opnet_att_ce"] = MODEL_CONFIGS["opnet"]
 
 
-def training_mask_file(spec, split_dir: Path) -> Path:
-    """The dataset 'mask' doubles as the loss mask: for `*_no_labels`
-    models the reference multiplies the L1 loss by a VISIBLE-frames mask
-    ("mask contains only visible objects",
-    `/root/reference/baselines/training_main.py:199-201`), i.e. those
-    experiments feed a visible-frames annotations file where the standard
-    models feed the containment file (used only for the contained-mIoU
-    eval metric). Feeding the containment file to a no_labels model
-    supervises exactly the frames where the snitch is hidden — backwards —
-    and collapses training (observed: dev mIoU 0.06)."""
-    if spec.no_labels:
-        return split_dir / "od_perception" / "visibility_rate_gt_0.99.txt"
-    return split_dir / "annotations" / "containment_annotations.txt"
+# safety-critical selection shared with every training driver — see the
+# docstring at the definition
+from objectpermanence_tpu.data.ingest import training_mask_file  # noqa: E402
 
 
 def subset(dataset, limit):
@@ -118,8 +108,10 @@ def main() -> None:
             best_dev = (prior["best_dev_miou"] if prior
                         else float(best_existing.name.split("_")[-1]))
             # explicit sentinel (not None) so the row schema stays stable
-            # when no prior row recorded a duration
-            train_s = (prior.get("train_seconds", -1) if prior else -1)
+            # when no prior row recorded a duration — including prior rows
+            # written before the sentinel existed (train_seconds: null)
+            train_s = prior.get("train_seconds") if prior else None
+            train_s = -1 if train_s is None else train_s
         else:
             datasets = {}
             for split in ("train", "dev"):

@@ -510,3 +510,35 @@ def test_camera_matrix_at_base_is_identity():
     np.testing.assert_allclose(
         project_3d_point(pts, cam=camera_matrix_at(camera_center())),
         project_3d_point(pts), atol=1e-9)
+
+
+def test_camera_motion_consistency_in_occlusion_and_paint_order():
+    """Camera-motion scenes: occlusion labels and renderer paint order must
+    follow the per-frame camera, not the fixed location (round-5 review)."""
+    from objectpermanence_tpu.datagen.perfect_perception import (
+        CAMERA_LOCATION, occluded_pair, scene_camera_location,
+    )
+
+    # camera moved to the opposite side: coord1 (near the fixed camera)
+    # is now the FARTHER one, flipping which box gets occluded
+    box_small = [100, 100, 20, 20]
+    box_big = [95, 95, 40, 40]
+    near_fixed = [5.0, -4.0, 0.3]
+    far_fixed = [-5.0, 4.0, 0.3]
+    r_fixed = occluded_pair(box_small, box_big, near_fixed, far_fixed, 0.5)
+    moved = np.asarray([-10.0, 6.0, 8.0])
+    r_moved = occluded_pair(box_small, box_big, near_fixed, far_fixed, 0.5,
+                            camera_location=moved)
+    assert r_fixed is None          # small box is nearer the fixed camera
+    assert r_moved == (True, False)  # ...but farther from the moved one
+
+    # scene_camera_location: fixed scenes -> constant; keyframes interp
+    scene = make_scene()
+    np.testing.assert_array_equal(scene_camera_location(scene, 123),
+                                  CAMERA_LOCATION)
+    scene["camera_motion"] = {"keyframes": [[0, [0.0, 0.0, 10.0]],
+                                            [30, [10.0, 0.0, 8.0]]]}
+    np.testing.assert_allclose(scene_camera_location(scene, 15),
+                               [5.0, 0.0, 9.0])
+    np.testing.assert_allclose(scene_camera_location(scene, 99),
+                               [10.0, 0.0, 8.0])

@@ -161,3 +161,28 @@ def test_twostage_summary_merges_train_meta(tmp_path):
                     "--models", "opnet"], check=True, capture_output=True)
     rows = json.loads((tmp_path / "results_models.json").read_text())
     assert rows[0]["train_videos"] == 1600 and rows[0]["epochs"] == 160
+
+
+def test_collect_results_alias_vs_fatal(tmp_path):
+    """A live source mapped to several run-named destinations: one
+    accepting = healthy (rc 0, refusal downgraded to aliased_skip); a
+    source EVERY destination refuses = the round-4 mislabel (fatal)."""
+    import collect_results as cr
+
+    src = tmp_path / "perception_stats.json"
+    src.write_text(json.dumps({"train": {"videos": 1600}}))
+    artifacts = [
+        (str(src), "run1600/perception_stats.json", cr.perception_stats(1600)),
+        (str(src), "run3200/perception_stats.json", cr.perception_stats(3200)),
+    ]
+    out = tmp_path / "results"
+    summary = cr.collect(artifacts, out)
+    assert summary["copied"] == ["run1600/perception_stats.json"]
+    assert summary["aliased_skips"] == ["run3200/perception_stats.json"]
+    assert summary["provenance_refused"] == []
+    assert (out / "run1600" / "perception_stats.json").exists()
+
+    src.write_text(json.dumps({"train": {"videos": 800}}))  # mislabeled
+    summary = cr.collect(artifacts, out)
+    assert sorted(summary["provenance_refused"]) == [
+        "run1600/perception_stats.json", "run3200/perception_stats.json"]
