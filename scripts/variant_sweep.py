@@ -78,7 +78,20 @@ def main() -> None:
                     help="skip training when a best-dev checkpoint already "
                          "exists (recover the table row after a crash "
                          "between training and evaluation)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="overlay a model-config key for every swept model "
+                         "(e.g. --set att_ce_weight=0.3); values parse as "
+                         "json, falling back to string")
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.overrides:
+        key, _, raw = kv.partition("=")
+        try:
+            overrides[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            overrides[key] = raw
 
     from objectpermanence_tpu.analysis.offline import analyze_results
     from objectpermanence_tpu.data.ingest import ingest_directory
@@ -96,7 +109,8 @@ def main() -> None:
     rows = (json.loads(results_path.read_text())
             if results_path.exists() else [])
     for model in args.models:
-        spec = get_model_spec(model)
+        model_cfg = {**MODEL_CONFIGS[model], **overrides}
+        spec = get_model_spec(model, model_cfg)
         ckpt_dir = sweep_root / model
         best_existing = best_params_checkpoint(ckpt_dir / model)
         if args.eval_only and best_existing is not None:
@@ -136,7 +150,7 @@ def main() -> None:
                   f"{args.epochs} epochs)...", flush=True)
             t0 = time.time()
             result = training_main(spec, train_ds, datasets["dev"],
-                                   train_config, MODEL_CONFIGS[model])
+                                   train_config, model_cfg)
             train_s = round(time.time() - t0)
             best_dev = result.best_dev_iou
 
@@ -150,7 +164,7 @@ def main() -> None:
         }
         results_dir = sweep_root / f"results_{model}"
         reasoning_inference_main(model, str(results_dir), inference_config,
-                                 MODEL_CONFIGS[model])
+                                 model_cfg)
         ann = test_dir / "annotations"
         csv_path = sweep_root / f"analysis_{model}.csv"
         analyze_results(
@@ -165,6 +179,7 @@ def main() -> None:
         rows = [r for r in rows if r["model"] != model]
         rows.append({
             "model": model,
+            **({"config_overrides": overrides} if overrides else {}),
             "best_dev_miou": round(best_dev, 4),
             "test_overall_iou": round(float(df["overall_iou"].mean()), 4),
             "test_contained_iou": round(
