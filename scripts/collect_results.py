@@ -195,6 +195,9 @@ ARTIFACTS = [
     # paper-parity question (VERDICT r4 #2)
     ("/root/data/unb/sweep3200/results.json",
      "unbiased/sweep3200_results.json"),
+    # round 5: att_ce weight ablation on the unbiased 3,200 split
+    ("/root/data/unb/sweep3200attce03/results.json",
+     "unbiased/sweep3200_attce_w03_results.json"),
     # round 5: full-data (3,200-video biased) opnet_moe row + route balance
     ("/root/data/sim4k/sweep3200moe/results.json",
      "moe/results_full_data.json"),
