@@ -195,6 +195,20 @@ ARTIFACTS = [
     # paper-parity question (VERDICT r4 #2)
     ("/root/data/unb/sweep3200/results.json",
      "unbiased/sweep3200_results.json"),
+    # round 5: bounded UNBIASED two-stage (uniform-planner pixels -> shared
+    # detector -> reasoning; scripts/two_stage_run.py on /root/data/unbsub)
+    ("/root/data/twostage_unb/analysis.csv", "twostage_unb/analysis.csv",
+     stamped("/root/data/twostage_unb/train_meta.json", 400)),
+    ("/root/data/twostage_unb/analysis_transformer_lstm.csv",
+     "twostage_unb/analysis_transformer_lstm.csv",
+     stamped("/root/data/twostage_unb/train_meta_transformer_lstm.json", 400)),
+    ("/root/data/twostage_unb/perception_stats.json",
+     "twostage_unb/perception_stats.json", perception_stats(400)),
+    ("/root/data/twostage_unb/results_models.json",
+     "twostage_unb/results_models.json", models_table(400)),
+    ("/root/data/twostage_unb/train_meta.json",
+     "twostage_unb/train_meta.json",
+     stamped("/root/data/twostage_unb/train_meta.json", 400)),
     # round 5: att_ce weight ablation on the unbiased 3,200 split
     ("/root/data/unb/sweep3200attce03/results.json",
      "unbiased/sweep3200_attce_w03_results.json"),
