@@ -87,21 +87,47 @@ def preprocess_main(results_dir: str, config: Dict) -> List[str]:
             wanted = {Path(line.strip()).stem for line in f if line.strip()}
         video_paths = [p for p in video_paths if p.stem in wanted]
 
+    # Bounded video-level pipeline: decode + async-dispatch the NEXT
+    # video(s) on pool threads while the current video's results are
+    # fetched and written. Two concurrent transfer streams measurably
+    # raise aggregate H2D bandwidth on the low-bandwidth dev tunnel
+    # (~1.5x), and the jit dispatch itself is thread-safe; depth stays
+    # small so host buffer retention is bounded (the tunnel client
+    # retains every H2D buffer — see scripts/two_stage_run.py).
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = max(1, int(config.get("pipeline_depth", 2)))
+
+    def _decode_and_dispatch(video_path: Path):
+        frames = read_video_frames(video_path)
+        if len(frames) != VIDEO_NUM_FRAMES:
+            raise ValueError(f"{len(frames)} frames, skipping")
+        return detector.dispatch_video(frames, batch_size)
+
     written = []
-    for video_path in video_paths:
-        try:
-            frames = read_video_frames(video_path)
-            if len(frames) != VIDEO_NUM_FRAMES:
-                print(f"problem with video {video_path.stem}: "
-                      f"{len(frames)} frames, skipping")
+    paths = iter(video_paths)
+    with ThreadPoolExecutor(depth) as pool:
+        jobs = deque()
+
+        def submit_next():
+            for p in paths:
+                jobs.append((p, pool.submit(_decode_and_dispatch, p)))
+                return
+
+        for _ in range(depth):
+            submit_next()
+        while jobs:
+            video_path, fut = jobs.popleft()
+            submit_next()
+            try:
+                in_flight = fut.result()
+                data = detections_to_lists(*detector.collect_video(in_flight))
+                out_path = results_dir / f"{video_path.stem}.pkl"
+                with open(out_path, "wb") as f:
+                    pickle.dump(data, f)
+                written.append(video_path.stem)
+            except Exception as exc:  # per-video isolation, like the reference
+                print(f"problem with video {video_path.stem}: {exc}")
                 continue
-            boxes, labels, scores, valid = detector.detect_video(frames, batch_size)
-            data = detections_to_lists(boxes, labels, scores, valid)
-            out_path = results_dir / f"{video_path.stem}.pkl"
-            with open(out_path, "wb") as f:
-                pickle.dump(data, f)
-            written.append(video_path.stem)
-        except Exception as exc:  # per-video isolation, like the reference
-            print(f"problem with video {video_path.stem}: {exc}")
-            continue
     return written

@@ -272,13 +272,16 @@ class CaterDetector:
         out = self._jit_forward(self.params, jnp.asarray(frames))
         return tuple(np.asarray(o) for o in out)
 
-    def detect_video(self, frames: np.ndarray, batch_size: int = 16):
-        """All frames of one video, chunked to a fixed batch (last chunk
-        padded so the jit signature never changes). All chunks are
-        dispatched before any result is fetched, so host->device streaming
-        of chunk i+1 overlaps the device compute of chunk i (async
-        dispatch) — on low-bandwidth host links the transfer, not the
-        compute, is the bottleneck."""
+    def dispatch_video(self, frames: np.ndarray, batch_size: int = 16):
+        """Async-dispatch all frames of one video, chunked to a fixed batch
+        (last chunk padded so the jit signature never changes). Returns the
+        in-flight (real_len, device_results) list for `collect_video` —
+        nothing is fetched here, so host->device streaming of chunk i+1
+        overlaps the device compute of chunk i, and a CALLER can overlap
+        whole videos (dispatch video i+1 from another thread while video
+        i's results are fetched; see infer/preprocess.py) — on
+        low-bandwidth host links the transfer, not the compute, is the
+        bottleneck."""
         num_frames = len(frames)
         in_flight = []
         for start in range(0, num_frames, batch_size):
@@ -289,8 +292,16 @@ class CaterDetector:
                 chunk = np.concatenate([chunk, pad])
             in_flight.append(
                 (real, self._jit_forward(self.params, jnp.asarray(chunk))))
+        return in_flight
+
+    def collect_video(self, in_flight):
+        """Fetch + concatenate the results of a `dispatch_video` call."""
         all_out = [[], [], [], []]
         for real, out in in_flight:
             for acc, arr in zip(all_out, out):
                 acc.append(np.asarray(arr)[:real])
         return tuple(np.concatenate(acc) for acc in all_out)
+
+    def detect_video(self, frames: np.ndarray, batch_size: int = 16):
+        """All frames of one video -> (boxes, labels, scores, valid)."""
+        return self.collect_video(self.dispatch_video(frames, batch_size))
