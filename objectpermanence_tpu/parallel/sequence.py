@@ -8,6 +8,9 @@ over frames, so for long-video headroom this module shards the FRAME axis
 over the mesh's model axis while batch stays on the data axis, with
 collectives riding ICI. Three entry points:
 
+- `frame_sharded`: the generic facility — lift ANY frame-local function
+  into a (batch, frames) = (data, model) sharded stage. Model builders
+  are thin compositions of it; new models need no bespoke shard_map code.
 - `make_sequence_parallel_iou`: frame-sharded eval metrics (psum reduce).
 - `make_sequence_parallel_transformer_forward`: transformer_lstm with the
   per-frame 15-token encoder (its dominant compute: 2 attention layers +
@@ -34,6 +37,34 @@ from objectpermanence_tpu.ops.attention import encoder_apply, linear_apply
 from objectpermanence_tpu.ops.boxes import FRAME_SHAPES, iou_xyxy
 from objectpermanence_tpu.ops.lstm import lstm_apply, stacked_lstm_apply
 from objectpermanence_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def frame_sharded(mesh, fn):
+    """Lift a frame-local function into a sequence-parallel stage.
+
+    `fn(params, *arrays) -> array | tuple[array, ...]` where every array
+    argument and result is laid out (batch, frames, ...). The wrapped stage
+    runs `fn` with (batch, frames) sharded over the mesh's (data, model)
+    axes — each rank sees its local (B/d, T/m, ...) shard, with zero
+    communication inside the stage. `fn` must therefore not mix
+    information ACROSS frames (per-frame encoders, heads, einsums are
+    fine; recurrences and temporal convolutions are not — run those on
+    gathered sequences between stages, and XLA inserts the frame-axis
+    all_gather at the shard_map boundary automatically).
+
+    Params are replicated (P()); the leading (data, model) spec is a
+    prefix, so arguments/results of any rank >= 2 work unchanged.
+    Requires batch divisible by the data-axis size and frames by the
+    model-axis size."""
+    spec = P(DATA_AXIS, MODEL_AXIS)
+
+    def wrapped(params, *arrays):
+        staged = shard_map(fn, mesh=mesh,
+                           in_specs=(P(),) + (spec,) * len(arrays),
+                           out_specs=spec)
+        return staged(params, *arrays)
+
+    return wrapped
 
 
 def make_sequence_parallel_iou(mesh):
@@ -83,9 +114,6 @@ def make_sequence_parallel_transformer_forward(mesh):
     default per-frame attention semantics (the `reference_compat`
     cross-batch mode is inherently unshardable over frames)."""
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(DATA_AXIS, MODEL_AXIS, None, None)),
-             out_specs=P(DATA_AXIS, MODEL_AXIS, None))
     def encoder_stage(p, boxes_s):
         b, t, o, _ = boxes_s.shape
         feats = jax.nn.relu(linear_apply(p["box_proj"], boxes_s))
@@ -93,19 +121,16 @@ def make_sequence_parallel_transformer_forward(mesh):
         attended = encoder_apply(p["encoder"], tokens)
         return attended[:, 0, :].reshape(b, t, -1)    # snitch slot
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(DATA_AXIS, MODEL_AXIS, None)),
-             out_specs=P(DATA_AXIS, MODEL_AXIS, None))
-    def head_stage(p, hidden_s):
-        return linear_apply(p, hidden_s)
+    encoder_sp = frame_sharded(mesh, encoder_stage)
+    head_sp = frame_sharded(mesh, linear_apply)
 
     @jax.jit
     def forward(params, boxes):
-        snitch = encoder_stage(
+        snitch = encoder_sp(
             {"box_proj": params["box_proj"], "encoder": params["encoder"]},
             boxes)
         hidden = stacked_lstm_apply(params["video_lstm"], snitch)
-        return head_stage(params["box_head"], hidden)
+        return head_sp(params["box_head"], hidden)
 
     return forward
 
@@ -121,31 +146,23 @@ def make_sequence_parallel_opnet_forward(mesh):
 
     Requires T divisible by the model-axis size."""
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(DATA_AXIS, MODEL_AXIS, None, None),
-                       P(DATA_AXIS, MODEL_AXIS, None)),
-             out_specs=(P(DATA_AXIS, MODEL_AXIS, None),
-                        P(DATA_AXIS, MODEL_AXIS, None)))
     def select_stage(att_head, boxes_s, att_h_s):
         logits = linear_apply(att_head, att_h_s)            # (b, t/m, 15)
         probs = jax.nn.softmax(logits, axis=-1)
         selected = jnp.einsum("bfot,bfo->bft", boxes_s, probs)
         return selected, logits
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(DATA_AXIS, MODEL_AXIS, None)),
-             out_specs=P(DATA_AXIS, MODEL_AXIS, None))
-    def head_stage(p, hidden_s):
-        return linear_apply(p, hidden_s)
+    select_sp = frame_sharded(mesh, select_stage)
+    head_sp = frame_sharded(mesh, linear_apply)
 
     @jax.jit
     def forward(params, boxes):
         batch, frames, objects, feat = boxes.shape
         scene = boxes.reshape(batch, frames, objects * feat)
         att_h = lstm_apply(params["att_lstm"], scene)       # recurrence
-        selected, logits = select_stage(params["att_head"], boxes, att_h)
+        selected, logits = select_sp(params["att_head"], boxes, att_h)
         hidden = lstm_apply(params["video_lstm"], selected)  # recurrence
-        y_boxes = head_stage(params["box_head"], hidden)
+        y_boxes = head_sp(params["box_head"], hidden)
         return y_boxes, jnp.swapaxes(logits, 1, 2)
 
     return forward

@@ -74,3 +74,29 @@ def test_sp_transformer_forward_matches_single_device():
     got = sp_fwd(params, jnp.asarray(boxes))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_frame_sharded_generic_stage():
+    """The generic facility handles an arbitrary NEW per-frame model stage
+    (multi-input, multi-output, mixed ranks) with no bespoke shard_map."""
+    from objectpermanence_tpu.parallel.sequence import frame_sharded
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    rng = np.random.RandomState(3)
+    params = {"w": jnp.asarray(rng.randn(6, 10).astype(np.float32)),
+              "b": jnp.asarray(rng.randn(10).astype(np.float32))}
+    boxes = jnp.asarray(rng.rand(8, 16, 15, 6).astype(np.float32))
+    gate = jnp.asarray(rng.rand(8, 16, 15).astype(np.float32))
+
+    def stage(p, boxes, gate):
+        feats = jnp.einsum("bfod,dh->bfoh", boxes, p["w"]) + p["b"]
+        pooled = jnp.einsum("bfoh,bfo->bfh", jax.nn.relu(feats),
+                            jax.nn.softmax(gate, axis=-1))
+        return pooled, pooled.sum(-1)
+
+    got_pooled, got_sum = frame_sharded(mesh, stage)(params, boxes, gate)
+    ref_pooled, ref_sum = stage(params, boxes, gate)
+    np.testing.assert_allclose(np.asarray(got_pooled), np.asarray(ref_pooled),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_sum), np.asarray(ref_sum),
+                               rtol=2e-5, atol=2e-5)
