@@ -39,6 +39,12 @@ def subset_split(src_split: Path, out_split: Path, n: int) -> None:
     from objectpermanence_tpu.datagen import scene_labels
     scene_labels.write_annotation_files(out_split / "scenes",
                                         out_split / "annotations")
+    # visible-frames mask source for `*_no_labels` training
+    # (data/ingest.training_mask_file): the parent's od_perception dir is
+    # keyed by video name, so entries beyond the subset are never read
+    perception = out_split / "od_perception"
+    if not perception.exists():
+        perception.symlink_to(src_split / "od_perception")
     print(f"[unbsub] {out_split.name}: {n} scenes", flush=True)
 
 
