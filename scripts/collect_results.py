@@ -212,6 +212,38 @@ ARTIFACTS = [
     # round 5: att_ce weight ablation on the unbiased 3,200 split
     ("/root/data/unb/sweep3200attce03/results.json",
      "unbiased/sweep3200_attce_w03_results.json"),
+    ("/root/data/unb/sweep3200attce01/results.json",
+     "unbiased/sweep3200_attce_w01_results.json"),
+    # round 5: att_ce on the BIASED full-data distribution (does restoring
+    # the dropped supervision also help where dense opnet already wins?)
+    ("/root/data/sim4k/sweep3200attce_biased/results.json",
+     "sim4k/sweep3200_attce_results.json"),
+    # round 5: the remaining architectures on the unbiased REAL detections
+    # (VERDICT r4 #5's matrix, run on the reference-faithful distribution)
+    ("/root/data/twostage_unb/analysis_baseline_lstm.csv",
+     "twostage_unb/analysis_baseline_lstm.csv",
+     stamped("/root/data/twostage_unb/train_meta_baseline_lstm.json", 400)),
+    ("/root/data/twostage_unb/analysis_opnet_moe.csv",
+     "twostage_unb/analysis_opnet_moe.csv",
+     stamped("/root/data/twostage_unb/train_meta_opnet_moe.json", 400)),
+    ("/root/data/twostage_unb/analysis_non_linear_lstm.csv",
+     "twostage_unb/analysis_non_linear_lstm.csv",
+     stamped("/root/data/twostage_unb/train_meta_non_linear_lstm.json", 400)),
+    ("/root/data/twostage_unb/analysis_opnet_lstm_mlp.csv",
+     "twostage_unb/analysis_opnet_lstm_mlp.csv",
+     stamped("/root/data/twostage_unb/train_meta_opnet_lstm_mlp.json", 400)),
+    ("/root/data/twostage_unb/analysis_opnet_no_labels.csv",
+     "twostage_unb/analysis_opnet_no_labels.csv",
+     stamped("/root/data/twostage_unb/train_meta_opnet_no_labels.json", 400)),
+    ("/root/data/twostage_unb/analysis_baseline_lstm_no_labels.csv",
+     "twostage_unb/analysis_baseline_lstm_no_labels.csv",
+     stamped("/root/data/twostage_unb/train_meta_baseline_lstm_no_labels.json",
+             400)),
+    ("/root/data/twostage_unb/checkpoints/moe_balance.json",
+     "twostage_unb/moe_balance_two_stage.json",
+     stamped("/root/data/twostage_unb/train_meta_opnet_moe.json", 400)),
+    ("/root/data/twostage_unb/cater/grid_results.json",
+     "twostage_unb/grid_results.json", grid_rows("_two_stage_unb400")),
     # round 5: full-data (3,200-video biased) opnet_moe row + route balance
     ("/root/data/sim4k/sweep3200moe/results.json",
      "moe/results_full_data.json"),
