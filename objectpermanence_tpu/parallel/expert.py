@@ -132,26 +132,51 @@ def shard_expert_params(params: Params, mesh) -> Params:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def make_expert_parallel_moe_head(mesh, precision=None):
-    """-> fn(sharded_params, h (B, T, in)) -> (B, T, out), numerically
-    identical to `moe_head_apply` but with each rank computing only its
-    local experts; the combine is a psum over EXPERT_AXIS."""
+def make_expert_parallel_layer(mesh, expert_fn, precision=None):
+    """Generic Switch-style top-1 expert-parallel layer over ANY expert
+    computation — the reusable facility the MoE box head instantiates.
+
+    `expert_fn(expert_params, h) -> (..., out)` evaluates ONE expert given
+    that expert's parameter slice (leaves WITHOUT the leading num_experts
+    axis); it may be any jax-traceable function (MLPs, gated blocks,
+    low-rank adapters, ...). Call-time params are
+    `{"router": (in, E), "experts": <pytree, every leaf (E, ...)>}`;
+    shard with `P(EXPERT_AXIS)` on the expert leaves (prefix spec) and the
+    router replicated. Each rank evaluates only its local experts on its
+    batch shard (dense-masked dispatch), and a psum over EXPERT_AXIS
+    combines — same layout story as the module docstring."""
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
-             in_specs=({"router": P(), "w1": P(EXPERT_AXIS),
-                        "w2": P(EXPERT_AXIS)}, P(DATA_AXIS)),
+             in_specs=({"router": P(), "experts": P(EXPERT_AXIS)},
+                       P(DATA_AXIS)),
              out_specs=P(DATA_AXIS))
-    def ep_head(params, h):
-        local_e = params["w1"].shape[0]
+    def ep_layer(params, h):
+        local_e = jax.tree.leaves(params["experts"])[0].shape[0]
         first = jax.lax.axis_index(EXPERT_AXIS) * local_e
         top1, gate, _ = moe_route(params, h, precision)
         local = top1 - first                                  # (B, T)
-        outs = jax.vmap(lambda w1, w2: _expert_mlp(w1, w2, h, precision)
-                        )(params["w1"], params["w2"])         # (Eloc,B,T,out)
+        outs = jax.vmap(lambda ep: expert_fn(ep, h)
+                        )(params["experts"])                  # (Eloc,B,T,out)
         onehot = jax.nn.one_hot(local, local_e, dtype=h.dtype)
         combined = jnp.einsum("e...o,...e->...o", outs, onehot)
         combined = combined * gate[..., None]
         return jax.lax.psum(combined, EXPERT_AXIS)
+
+    return ep_layer
+
+
+def make_expert_parallel_moe_head(mesh, precision=None):
+    """-> fn(sharded_params, h (B, T, in)) -> (B, T, out), numerically
+    identical to `moe_head_apply` but with each rank computing only its
+    local experts; an instantiation of `make_expert_parallel_layer` with
+    the house two-layer-MLP expert over the flat moe_head param layout."""
+    layer = make_expert_parallel_layer(
+        mesh, lambda ep, h: _expert_mlp(ep["w1"], ep["w2"], h, precision),
+        precision=precision)
+
+    def ep_head(params, h):
+        return layer({"router": params["router"],
+                      "experts": {"w1": params["w1"], "w2": params["w2"]}}, h)
 
     return ep_head

@@ -220,3 +220,51 @@ def test_moe_balance_loss_token_weight_ignores_padding():
     real_only = float(moe_balance_loss(real))
     assert np.isclose(weighted, real_only, atol=1e-5)
     assert not np.isclose(float(moe_balance_loss(probs)), real_only, atol=1e-3)
+
+
+def test_ep_generic_layer_custom_expert():
+    """`make_expert_parallel_layer` handles an ARBITRARY expert computation
+    (here a gated 3-matrix expert, a different shape family than the house
+    MLP) with no bespoke shard_map code — parity vs the dense evaluation
+    with identical top-1 routing."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from objectpermanence_tpu.parallel.expert import (
+        EXPERT_AXIS, make_expert_parallel_layer,
+    )
+
+    rng = np.random.RandomState(7)
+    E, IN, HID, OUT = 4, 24, 12, 5
+    params = {
+        "router": jnp.asarray(rng.randn(IN, E).astype(np.float32)) * 0.2,
+        "experts": {
+            "wg": jnp.asarray(rng.randn(E, IN, HID).astype(np.float32)) * 0.2,
+            "wu": jnp.asarray(rng.randn(E, IN, HID).astype(np.float32)) * 0.2,
+            "wo": jnp.asarray(rng.randn(E, HID, OUT).astype(np.float32)) * 0.2,
+        },
+    }
+    h = jnp.asarray(rng.randn(8, 10, IN), jnp.float32)
+
+    def expert_fn(ep, x):
+        gated = jax.nn.sigmoid(x @ ep["wg"]) * (x @ ep["wu"])
+        return gated @ ep["wo"]
+
+    # dense reference with the same routing math
+    top1, gate, _ = moe_route(params, h)
+    outs = jax.vmap(lambda wg, wu, wo: expert_fn(
+        {"wg": wg, "wu": wu, "wo": wo}, h))(
+        params["experts"]["wg"], params["experts"]["wu"],
+        params["experts"]["wo"])
+    onehot = jax.nn.one_hot(top1, E, dtype=h.dtype)
+    ref = jnp.einsum("e...o,...e->...o", outs, onehot) * gate[..., None]
+
+    mesh = make_expert_mesh(n_data=4, n_expert=2)
+    sharded = {
+        "router": jax.device_put(params["router"], NamedSharding(mesh, P())),
+        "experts": jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(EXPERT_AXIS))), params["experts"]),
+    }
+    layer = make_expert_parallel_layer(mesh, expert_fn)
+    got = layer(sharded, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
