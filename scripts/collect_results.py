@@ -74,6 +74,19 @@ def models_table(expect_train: int):
     return check
 
 
+def dtype_report(expect_dtype: str):
+    """detector report.json self-describes its compute dtype; the r5
+    destination name claims bf16, so a stale fp32 report must refuse."""
+    def check(src: Path) -> bytes:
+        data = _read(src)
+        got = json.loads(data).get("compute_dtype")
+        if got != expect_dtype:
+            raise ProvenanceError(
+                f"compute_dtype={got}, destination claims {expect_dtype}")
+        return data
+    return check
+
+
 def stamped(meta_src: str, expect_train: int):
     """The artifact itself has no count (per-video CSVs, metrics tails);
     trust the run stamp (train_meta*.json) that the SAME stage wrote."""
@@ -244,6 +257,11 @@ ARTIFACTS = [
      stamped("/root/data/twostage_unb/train_meta_opnet_moe.json", 400)),
     ("/root/data/twostage_unb/cater/grid_results.json",
      "twostage_unb/grid_results.json", grid_rows("_two_stage_unb400")),
+    # round 5: 800px retrain on THIS container (bf16 mixed precision; the
+    # round-4 fp32 report_800px_windowed.json checkpoint died with its
+    # container) — feeds the infer800 accuracy column
+    ("/root/data/det800/det800/report.json",
+     "det800/report_800px_bf16_r5.json", dtype_report("bfloat16")),
     # round 5: full-data (3,200-video biased) opnet_moe row + route balance
     ("/root/data/sim4k/sweep3200moe/results.json",
      "moe/results_full_data.json"),

@@ -30,17 +30,19 @@ import numpy as np
 SPLIT_SCENES = {"train": 1600, "dev": 150, "test": 300}
 
 
-def _config(geometry: str, roi_backend: str):
+def _config(geometry: str, roi_backend: str, compute_dtype: str = "float32"):
     from objectpermanence_tpu.models.detector.detector import DetectorConfig
     if geometry == "800":
         # the reference's torchvision geometry; proposal counts stay at the
         # round-3 recipe (500/300) so geometry is the only variable
         return DetectorConfig(min_size=800, max_size=1333,
                               backbone_norm="group", rpn_pre_nms_top_n=500,
-                              rpn_post_nms_top_n=300, roi_backend=roi_backend)
+                              rpn_post_nms_top_n=300, roi_backend=roi_backend,
+                              compute_dtype=compute_dtype)
     return DetectorConfig(min_size=240, max_size=320, backbone_norm="group",
                           rpn_pre_nms_top_n=500, rpn_post_nms_top_n=300,
-                          roi_backend=roi_backend)
+                          roi_backend=roi_backend,
+                          compute_dtype=compute_dtype)
 
 
 def render(src: Path, root: Path, det_samples: int) -> None:
@@ -121,7 +123,7 @@ def steptime(root: Path, steps: int) -> None:
 
 
 def train(root: Path, geometry: str, epochs: int, batch: int, lr: float,
-          tag: str) -> None:
+          tag: str, compute_dtype: str = "float32") -> None:
     from objectpermanence_tpu.models.detector.detector import CaterDetector
     from objectpermanence_tpu.ops import pallas_roi_align as pra
     from objectpermanence_tpu.train.detector_loop import (
@@ -134,7 +136,8 @@ def train(root: Path, geometry: str, epochs: int, batch: int, lr: float,
         print(f"[{tag}] already complete", flush=True)
         return
     datasets = _datasets(root)
-    config = _config(geometry, "windowed" if geometry == "800" else "auto")
+    config = _config(geometry, "windowed" if geometry == "800" else "auto",
+                     compute_dtype)
     pra.reset_contract_stats()
     t0 = time.time()
     run = train_detector(datasets["train"], datasets["dev"], config,
@@ -154,6 +157,7 @@ def train(root: Path, geometry: str, epochs: int, batch: int, lr: float,
         return round(c["out_of_contract"] / c["rois"], 5) if c["rois"] else None
 
     report = {"geometry": geometry, "epochs": epochs, "batch": batch,
+              "compute_dtype": compute_dtype,
               "best_dev_map": run["best_map"], "test": test_metrics,
               "train_seconds": round(train_s),
               "train_contract": {**train_contract,
@@ -287,6 +291,9 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--compute-dtype", default="float32",
+                    help="bfloat16 = TPU mixed-precision training (fp32 "
+                         "masters; decode/NMS/loss stay fp32)")
     args = ap.parse_args()
 
     args.root.mkdir(parents=True, exist_ok=True)
@@ -295,9 +302,11 @@ def main() -> None:
     elif args.stage == "steptime":
         steptime(args.root, args.steps)
     elif args.stage == "train800":
-        train(args.root, "800", args.epochs, 4, args.lr, "det800")
+        train(args.root, "800", args.epochs, 4, args.lr, "det800",
+              args.compute_dtype)
     elif args.stage == "native":
-        train(args.root, "native", args.epochs, 8, args.lr, "detnative")
+        train(args.root, "native", args.epochs, 8, args.lr, "detnative",
+              args.compute_dtype)
     elif args.stage == "contract":
         contract(args.root, "det800", batches=4, batch=4)
 

@@ -8,9 +8,18 @@ measures the inference path's remaining levers on the real chip and checks
 each one keeps test mAP:
 
 - bf16 compute (backbone/FPN/heads in bfloat16; decode/NMS stay fp32)
-- reduced proposal budget (rpn pre/post NMS top-n 300/150 vs the training
-  recipe's 500/300 — detection keeps only score>=0.8 boxes downstream,
-  `baselines/detector.py:14-28`, so inference needs far fewer proposals)
+- reduced proposal budget (rpn pre/post NMS top-n 300/150 and 200/100 vs
+  the training recipe's 500/300 — detection keeps only score>=0.8 boxes
+  downstream, `baselines/detector.py:14-28`, so inference needs far fewer
+  proposals)
+- batch 16 (amortizes fixed per-dispatch work; better MXU occupancy)
+
+The accuracy column requires a checkpoint TRAINED at the 800px geometry
+(detector_800px_run.py train800): a native-res-trained detector fed
+3.33x-upsampled frames still centers boxes on the right objects with high
+confidence but undershoots their size ~2.4x (box regression never saw
+that scale), so its 800px mAP is ~0 — domain shift, not a harness bug
+(measured on this container, round 5).
 
     python scripts/detector_infer800.py --root /root/data/det800
         # writes <root>/infer800.json: fps + test mAP per config
@@ -31,6 +40,10 @@ CONFIGS = {
     "fp32_windowed": dict(compute_dtype="float32", pre=500, post=300),
     "bf16_windowed": dict(compute_dtype="bfloat16", pre=500, post=300),
     "bf16_win_tuned": dict(compute_dtype="bfloat16", pre=300, post=150),
+    "bf16_tuned_b16": dict(compute_dtype="bfloat16", pre=300, post=150,
+                           batch=16),
+    "bf16_max_b16": dict(compute_dtype="bfloat16", pre=200, post=100,
+                         batch=16),
 }
 
 
@@ -41,6 +54,10 @@ def _config(c):
                           rpn_post_nms_top_n=c["post"],
                           compute_dtype=c["compute_dtype"],
                           roi_backend="windowed")
+
+
+def _batch(c, args) -> int:
+    return c.get("batch", args.batch)
 
 
 def main() -> None:
@@ -69,12 +86,13 @@ def main() -> None:
     print(f"[infer800] checkpoint: {ckpt}", flush=True)
     test_ds = DetectionDataset(args.root / "test" / "det_images",
                                args.root / "test" / "detection_annotations.csv")
-    frames = jnp.asarray(np.random.RandomState(0).randint(
-        0, 255, (args.batch, 240, 320, 3), dtype=np.uint8))
 
     rows = {}
     for name, c in CONFIGS.items():
         config = _config(c)
+        batch = _batch(c, args)
+        frames = jnp.asarray(np.random.RandomState(0).randint(
+            0, 255, (batch, 240, 320, 3), dtype=np.uint8))
         det = CaterDetector.load(str(ckpt), config)
         # throughput: chained dispatches (amortize the tunnel's ~0.3-1 ms
         # per-dispatch floor), sync via a tiny fetch (block_until_ready
@@ -89,12 +107,12 @@ def main() -> None:
                 o = det._jit_forward(det.params, frames)
             np.asarray(o[0][0, 0])
             best = min(best, (time.perf_counter() - t0) / args.iters)
-        fps = args.batch / best
+        fps = batch / best
         row = {"fps": round(fps, 1), "ms_per_batch": round(best * 1000, 1),
-               **c}
+               "batch": batch, **{k: v for k, v in c.items() if k != "batch"}}
         if not args.skip_eval:
             t0 = time.time()
-            metrics = evaluate_detector(det, test_ds, batch_size=args.batch)
+            metrics = evaluate_detector(det, test_ds, batch_size=batch)
             row["test"] = {k: round(float(v), 4) for k, v in metrics.items()}
             row["eval_seconds"] = round(time.time() - t0)
         rows[name] = row
