@@ -252,6 +252,9 @@ ARTIFACTS = [
      "twostage_unb/analysis_baseline_lstm_no_labels.csv",
      stamped("/root/data/twostage_unb/train_meta_baseline_lstm_no_labels.json",
              400)),
+    ("/root/data/twostage_unb/analysis_opnet_att_ce.csv",
+     "twostage_unb/analysis_opnet_att_ce.csv",
+     stamped("/root/data/twostage_unb/train_meta_opnet_att_ce.json", 400)),
     ("/root/data/twostage_unb/checkpoints/moe_balance.json",
      "twostage_unb/moe_balance_two_stage.json",
      stamped("/root/data/twostage_unb/train_meta_opnet_moe.json", 400)),
