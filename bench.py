@@ -36,6 +36,16 @@ import zipfile
 from pathlib import Path
 
 import jax
+
+# Persistent XLA compilation cache: first compile of the fused kernel +
+# pipelined graph can exceed 10 min on a cold low-core container (XLA
+# compile is host-CPU-bound); cache it so reruns (and the driver's
+# end-of-round invocation) start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/data/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 
 from objectpermanence_tpu.config import load_model_config

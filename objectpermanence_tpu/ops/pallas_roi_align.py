@@ -1229,8 +1229,12 @@ def _windowed_diff_bwd(strides, pooled, sampling_ratio, channel_chunk, r_blk,
             feats, rois, levels)
 
     zeros = tuple(jnp.zeros(shape, dtype) for shape, dtype in feat_meta)
-    _, vjp = jax.vjp(lin, zeros)
-    (dfeats,) = vjp(g.astype(zeros[0].dtype))
+    primal, vjp = jax.vjp(lin, zeros)
+    # cast the cotangent to the gather formulation's OUTPUT dtype, not the
+    # feature dtype: under bf16 compute the gather path upcasts (fp32
+    # interpolation weights), so its vjp expects an fp32 cotangent even for
+    # bf16 features (d_features still comes back in the feature dtype)
+    (dfeats,) = vjp(g.astype(primal.dtype))
     return (dfeats, None, None)
 
 

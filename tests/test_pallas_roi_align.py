@@ -279,6 +279,50 @@ def test_windowed_trainable_grads_match_gather_autodiff():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
+def test_windowed_trainable_bf16_features_grad():
+    """Regression (round 5): under bf16 compute the backward's gather
+    formulation upcasts to fp32, so its vjp expects an fp32 cotangent —
+    casting the cotangent to the FEATURE dtype raised a JAX type error and
+    broke the bf16 800px windowed training path. d_features must come back
+    in the feature dtype and match the gather autodiff."""
+    import jax
+    rng = np.random.RandomState(3)
+    B, C = 1, 8
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3)]
+    feats = [jnp.asarray(rng.rand(B, C, h, w).astype(np.float32),
+                         jnp.bfloat16) for h, w in shapes]
+    rois = jnp.asarray([[[8.0, 8.0, 40.0, 36.0], [20.0, 4.0, 52.0, 30.0]]],
+                       jnp.float32)
+    levels = jnp.zeros((B, 2), jnp.int32)
+    cotangent = jnp.asarray(rng.rand(B, 2, C, 7, 7).astype(np.float32))
+
+    def loss_gather(fs):
+        out = jax.vmap(lambda *a: multilevel_roi_align(
+            list(a[:4]), a[4], a[5], ROI_STRIDES))(*fs, rois, levels)
+        return jnp.sum(out * cotangent)
+
+    ref_grads = jax.grad(loss_gather)(feats)
+
+    orig = pra.pl.pallas_call
+    pra.pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        def loss_win(fs):
+            out = pra.roi_align_windowed_trainable(
+                fs, rois, levels, ROI_STRIDES, channel_chunk=8, r_blk=2,
+                win=24)
+            return jnp.sum(out.astype(jnp.float32) * cotangent)
+
+        got_grads = jax.grad(loss_win)(feats)
+    finally:
+        pra.pl.pallas_call = orig
+
+    for g, r in zip(got_grads, ref_grads):
+        assert g.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=1e-2, atol=1e-2)
+
+
 def test_windowed_roi_align_right_edge_small_cc():
     """Regression: with cc not a multiple of 8 (x_quant > y_quant), a roi
     near the RIGHT level edge must still be exact — the window size must be
