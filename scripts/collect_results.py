@@ -169,8 +169,9 @@ ARTIFACTS = [
     ("/root/data/twostage/analysis_baseline_lstm_no_labels.csv",
      "twostage3200/analysis_baseline_lstm_no_labels.csv",
      stamped(TM.format("_baseline_lstm_no_labels"), 3200)),
-    # round 5: 800px inference matrix (scripts/detector_infer800.py)
-    ("/root/data/det800/infer800.json", "det800/infer800.json"),
+    # round 5: 800px inference matrix (scripts/detector_infer800.py; the
+    # round-5 container's 800px set lives under det800b)
+    ("/root/data/det800b/infer800.json", "det800/infer800.json"),
     ("/root/data/twostage/train_meta.json", "twostage1600/train_meta.json",
      stamped(TM.format(""), 1600)),
     # CATER-setup grid accuracy (scripts/cater_grid_run.py)
@@ -263,7 +264,7 @@ ARTIFACTS = [
     # round 5: 800px retrain on THIS container (bf16 mixed precision; the
     # round-4 fp32 report_800px_windowed.json checkpoint died with its
     # container) — feeds the infer800 accuracy column
-    ("/root/data/det800/det800/report.json",
+    ("/root/data/det800b/det800/report.json",
      "det800/report_800px_bf16_r5.json", dtype_report("bfloat16")),
     # round 5: full-data (3,200-video biased) opnet_moe row + route balance
     ("/root/data/sim4k/sweep3200moe/results.json",
