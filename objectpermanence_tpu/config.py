@@ -48,14 +48,21 @@ def load_model_config(model_name: str) -> dict:
     architecture's config: `*_no_labels` (same net, masked supervision),
     `opnet_moe` (opnet hyperparameters + default expert dims), and
     `opnet_att_ce` (same net, attention-CE supervision)."""
+    overlay = {}
     if model_name.endswith("_no_labels"):
         model_name = model_name[: -len("_no_labels")]
     elif model_name in ("opnet_moe", "opnet_att_ce"):
+        if model_name == "opnet_att_ce":
+            # tuned default: the 3,200-video unbiased weight ablation found
+            # w=0.1 strictly best (results/unbiased/sweep3200_attce_w01_
+            # results.json); heavier weights trade visible-frame IoU for
+            # little contained gain. Overridable per-run via the config.
+            overlay = {"att_ce_weight": 0.1}
         model_name = "opnet"
     path = (Path(__file__).resolve().parent.parent / "configs" /
             f"{model_name}_model_config.json")
     with open(path) as f:
-        return json.load(f)
+        return {**json.load(f), **overlay}
 
 
 @dataclass(frozen=True)

@@ -210,7 +210,9 @@ def opnet(root: Path, src: Path, epochs: int, resume: bool,
     from objectpermanence_tpu.models.registry import get_model_spec
     from objectpermanence_tpu.train.loop import training_main
 
-    spec = get_model_spec(model)
+    # pass the model config so variant knobs resolved by load_model_config
+    # (e.g. opnet_att_ce's tuned att_ce_weight=0.1 default) reach the spec
+    spec = get_model_spec(model, load_model_config(model))
     datasets = {}
     for split in ("train", "dev"):
         datasets[split] = ingest_split(root, src, split, spec)
