@@ -68,6 +68,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config names to run "
+                         "(rows merge into an existing infer800.json — the "
+                         "dev tunnel can wedge mid-matrix, so reruns only "
+                         "pay for the missing rows)")
     args = ap.parse_args()
 
     import jax
@@ -87,8 +92,11 @@ def main() -> None:
     test_ds = DetectionDataset(args.root / "test" / "det_images",
                                args.root / "test" / "detection_annotations.csv")
 
-    rows = {}
-    for name, c in CONFIGS.items():
+    out_path = args.root / "infer800.json"
+    rows = json.loads(out_path.read_text()) if out_path.exists() else {}
+    todo = (dict(CONFIGS) if args.configs is None else
+            {n: CONFIGS[n] for n in args.configs.split(",")})
+    for name, c in todo.items():
         config = _config(c)
         batch = _batch(c, args)
         frames = jnp.asarray(np.random.RandomState(0).randint(
@@ -116,13 +124,16 @@ def main() -> None:
             row["test"] = {k: round(float(v), 4) for k, v in metrics.items()}
             row["eval_seconds"] = round(time.time() - t0)
         rows[name] = row
+        # write after EVERY config: a tunnel wedge mid-matrix keeps the
+        # finished rows on disk
+        if "fp32_windowed" in rows:
+            base = rows["fp32_windowed"]["fps"]
+            for n in rows:
+                rows[n]["speedup_vs_fp32"] = round(rows[n]["fps"] / base, 2)
+        out_path.write_text(json.dumps(rows, indent=2))
         print(f"[infer800] {name}: {row}", flush=True)
         del det
 
-    base = rows["fp32_windowed"]["fps"]
-    for name in rows:
-        rows[name]["speedup_vs_fp32"] = round(rows[name]["fps"] / base, 2)
-    (args.root / "infer800.json").write_text(json.dumps(rows, indent=2))
     print(json.dumps(rows, indent=2))
 
 
