@@ -44,6 +44,11 @@ CONFIGS = {
                            batch=16),
     "bf16_max_b16": dict(compute_dtype="bfloat16", pre=200, post=100,
                          batch=16),
+    # batch 32 at 800px fits HBM comfortably on v5e (backbone activations
+    # stream; the windowed RoIAlign keeps VMEM per-roi) — more dispatch
+    # amortization and MXU occupancy on top of bf16_max_b16
+    "bf16_max_b32": dict(compute_dtype="bfloat16", pre=200, post=100,
+                         batch=32),
 }
 
 
